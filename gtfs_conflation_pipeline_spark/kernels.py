@@ -1,0 +1,665 @@
+"""Pure-numpy geometry kernels.
+
+Each kernel re-specifies a turf.js / SQLite-geopoly call made by the reference
+pipeline (availabs/gtfs-conflation-pipeline); citations point at the reference
+file that defines the semantics (thresholds, units, rounding). These are plain
+functions over numpy arrays so they are (a) unit-testable against scalar
+oracles and (b) directly wrappable as Arrow-vectorized pandas_udfs — no
+per-row Python ever touches Spark.
+
+Units: distances km unless noted (RMSD is meters, matching
+reference src/services/Conflation/chooseShstMatchesForShape/
+computeSubGraphComponentsTraversals/buildShstMatchSubGraphsPerGtfsShapeSegment.js:28).
+Coordinates are (lon, lat) degrees, rounded to 6 dp at ingest
+(reference src/utils/roundGeometryCoordinates.js:7 PRECISION=6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# turf.js earth radius (km) — @turf/helpers earthRadius = 6371008.8 m
+R_KM = 6371.0088
+DEG_KM = R_KM * np.pi / 180.0  # km per degree of latitude
+
+# ---------------------------------------------------------------------------
+# scalar math
+# ---------------------------------------------------------------------------
+
+
+def round6(a):
+    """Round coords to 6 dp — reference roundGeometryCoordinates.js:7-37."""
+    return np.round(np.asarray(a, dtype=np.float64), 6)
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance, km (turf.distance semantics). Vectorized."""
+    lon1, lat1, lon2, lat2 = (
+        np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2)
+    )
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * R_KM * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def bearing_deg(lon1, lat1, lon2, lat2):
+    """Initial bearing in degrees (-180, 180], turf.bearing semantics."""
+    lon1, lat1, lon2, lat2 = (
+        np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2)
+    )
+    dlon = lon2 - lon1
+    y = np.sin(dlon) * np.cos(lat2)
+    x = np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+    return np.degrees(np.arctan2(y, x))
+
+
+def polyline_length_km(xs: np.ndarray, ys: np.ndarray) -> float:
+    """turf.length over a LineString — sum of vertex-pair haversines."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.size < 2:
+        return 0.0
+    return float(np.sum(haversine_km(xs[:-1], ys[:-1], xs[1:], ys[1:])))
+
+
+def midpoints(xs: np.ndarray, ys: np.ndarray):
+    """Midpoint interleave — doubles a LineString's points
+    (reference geometryMutators/doubleLineStringPoints.js:10-38; planar
+    midpoint is within rounding at densification scale)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    mx = (xs[:-1] + xs[1:]) / 2.0
+    my = (ys[:-1] + ys[1:]) / 2.0
+    ox = np.empty(xs.size + mx.size)
+    oy = np.empty_like(ox)
+    ox[0::2] = xs
+    ox[1::2] = mx
+    oy[0::2] = ys
+    oy[1::2] = my
+    return ox, oy
+
+
+# ---------------------------------------------------------------------------
+# 64-bit deterministic mixes (fixture generation; numpy side of F.xxhash64-free
+# determinism — same function implemented as a Spark-free numpy mix)
+# ---------------------------------------------------------------------------
+
+_U64 = np.uint64
+
+
+def splitmix64(x) -> np.ndarray:
+    """SplitMix64 finalizer — deterministic 64-bit mix, vectorized uint64."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x).astype(np.uint64)
+        z = (z + _U64(0x9E3779B97F4A7C15)) & _U64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _U64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _U64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> _U64(31))
+
+
+# ---------------------------------------------------------------------------
+# cell index (Morton / quadkey analog)
+# ---------------------------------------------------------------------------
+# The reference orders features by an 11-char base-36 bit-interleaved key at
+# 1e-5 deg resolution (src/utils/getGeoProximityKey.js:8-46). Our canonical
+# cell id is a proper 64-bit Morton code over a configurable resolution grid:
+# same locality semantics, but a LongType the JVM can sort/join/partition
+# natively.
+
+_B = [
+    _U64(0x5555555555555555),
+    _U64(0x3333333333333333),
+    _U64(0x0F0F0F0F0F0F0F0F),
+    _U64(0x00FF00FF00FF00FF),
+    _U64(0x0000FFFF0000FFFF),
+]
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread lower 32 bits of x into even bit positions."""
+    x = x.astype(np.uint64) & _U64(0xFFFFFFFF)
+    x = (x | (x << _U64(16))) & _B[4]
+    x = (x | (x << _U64(8))) & _B[3]
+    x = (x | (x << _U64(4))) & _B[2]
+    x = (x | (x << _U64(2))) & _B[1]
+    x = (x | (x << _U64(1))) & _B[0]
+    return x
+
+
+def morton64(ix, iy) -> np.ndarray:
+    """Interleave two 32-bit grid indices into a 64-bit Morton code."""
+    ix = np.asarray(ix)
+    iy = np.asarray(iy)
+    return (_part1by1(ix) << _U64(1)) | _part1by1(iy)
+
+
+def cell_id(lon, lat, cell_deg: float) -> np.ndarray:
+    """Encode (lon, lat) to an int64 Morton cell id on a cell_deg grid.
+
+    Grid indices are offset to be non-negative ((lon+180)/cell, (lat+90)/cell)
+    so the full globe fits in 32+32 bits for any cell_deg >= 1e-7.
+    """
+    ix = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / cell_deg).astype(np.int64)
+    iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / cell_deg).astype(np.int64)
+    return morton64(ix, iy).astype(np.int64)
+
+
+def cell_cover_of_points(lon, lat, cell_deg: float, ring: int = 0) -> np.ndarray:
+    """Unique cells touched by a point set, optionally dilated by a k-ring.
+
+    ring=1 adds the 8 neighbors of every touched cell (candidate-generation
+    widening — the Spark analog of the reference's shst retry ladder,
+    shstMatchFeatures.js:283-362: a miss widens the search radius).
+    Returns a unique int64 array.
+    """
+    ix = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / cell_deg).astype(np.int64)
+    iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / cell_deg).astype(np.int64)
+    if ring > 0:
+        offs = np.arange(-ring, ring + 1, dtype=np.int64)
+        dx, dy = np.meshgrid(offs, offs)
+        ix = (ix[:, None] + dx.ravel()[None, :]).ravel()
+        iy = (iy[:, None] + dy.ravel()[None, :]).ravel()
+    ij = np.unique(np.stack([ix, iy], axis=1), axis=0)
+    return morton64(ij[:, 0], ij[:, 1]).astype(np.int64)
+
+
+def geoprox_key(xs, ys) -> str:
+    """Reference-parity geoprox key (getGeoProximityKey.js:8-46).
+
+    key(lon,lat): bit-strings of round(|c|*1e5) are interleaved *aligned at
+    the MSB of the lon bit-string* (the JS reduce walks lon's digits and pads
+    missing lat digits with '0'), then base-36, left-padded to 11 chars.
+    Feature key = min(startKey, endKey).
+    """
+
+    def one(lon: float, lat: float) -> str:
+        p_lon = format(int(round(abs(lon * 100000))), "b")
+        p_lat = format(int(round(abs(lat * 100000))), "b")
+        bits = "".join(
+            (p_lon[i] if i < len(p_lon) else "0") + (p_lat[i] if i < len(p_lat) else "0")
+            for i in range(len(p_lon))
+        )
+        n = int(bits, 2) if bits else 0
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        out = ""
+        while n:
+            n, r = divmod(n, 36)
+            out = digits[r] + out
+        return (out or "0").rjust(11, "0")
+
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    a = one(xs[0], ys[0])
+    b = one(xs[-1], ys[-1])
+    return a if a <= b else b
+
+
+# ---------------------------------------------------------------------------
+# tile assignment (raster tile <-> vector segment)
+# ---------------------------------------------------------------------------
+# Web-mercator tile math (standard slippy-map XYZ). The reference's tileset
+# build filters features into zoom ranges by network level
+# (tasks/conflation_map_into_mapbox/bin/createMBTilesNDGeoJSON FILTER block);
+# we reproduce that as: min_zoom(networklevel) -> per-feature tile ids at its
+# assigned zoom.
+
+
+def lonlat_to_tile(lon, lat, zoom) -> tuple[np.ndarray, np.ndarray]:
+    """Slippy-map tile (x, y) at integer zoom. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)
+    n = 2.0 ** int(zoom)
+    xt = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    lat_r = np.radians(lat)
+    yt = np.floor((1.0 - np.arcsinh(np.tan(lat_r)) / np.pi) / 2.0 * n).astype(np.int64)
+    xt = np.clip(xt, 0, int(n) - 1)
+    yt = np.clip(yt, 0, int(n) - 1)
+    return xt, yt
+
+
+def tile_key(zoom, xt, yt) -> np.ndarray:
+    """Pack (zoom, x, y) into int64: zoom<<58 | x<<29 | y (29 bits each)."""
+    z = np.asarray(zoom).astype(np.int64)
+    return (z << 58) | (np.asarray(xt).astype(np.int64) << 29) | np.asarray(yt).astype(np.int64)
+
+
+def zoom_for_networklevel(networklevel) -> np.ndarray:
+    """Min tile zoom per OSM network level — semantics of the reference
+    tileset zoom-filter rules (tasks/conflation_map_into_mapbox/bin/
+    createMBTilesNDGeoJSON: motorways at low zoom, residential only at high):
+    nl 0,1 -> z7; 2 -> z9; 3 -> z11; 4 -> z12; >=5 -> z13.
+    """
+    nl = np.asarray(networklevel, dtype=np.int64)
+    return np.select(
+        [nl <= 1, nl == 2, nl == 3, nl == 4],
+        [np.int64(7), np.int64(9), np.int64(11), np.int64(12)],
+        default=np.int64(13),
+    )
+
+
+def tiles_for_polyline(xs, ys, zoom: int) -> np.ndarray:
+    """Unique tile keys covering a polyline's vertices at `zoom` (vertices are
+    dense enough post-densification that vertex cover == corridor cover at the
+    fixture's segment lengths)."""
+    xt, yt = lonlat_to_tile(np.asarray(xs), np.asarray(ys), zoom)
+    ij = np.unique(np.stack([xt, yt], axis=1), axis=0)
+    return tile_key(np.full(len(ij), zoom), ij[:, 0], ij[:, 1])
+
+
+# ---------------------------------------------------------------------------
+# polyline projection / snapping
+# ---------------------------------------------------------------------------
+
+
+def _local_plane(xs: np.ndarray, ys: np.ndarray):
+    """Equirectangular km-plane around the polyline's mean latitude."""
+    lat0 = np.mean(ys)
+    kx = DEG_KM * np.cos(np.radians(lat0))
+    return kx, DEG_KM
+
+
+def segmentize(xs: np.ndarray, ys: np.ndarray):
+    """Per-edge lengths and running start_dist_along (km) — reference
+    snapGtfsStopsSequenceToGtfsShape.js:6-30."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    seg_len = haversine_km(xs[:-1], ys[:-1], xs[1:], ys[1:])
+    start_along = np.concatenate([[0.0], np.cumsum(seg_len)[:-1]])
+    return seg_len, start_along
+
+
+def snap_points_to_polyline(px, py, xs, ys):
+    """Project points onto a polyline (turf.pointOnLine semantics).
+
+    Returns (seg_idx, t, dist_along_km, deviation_km, snap_lon, snap_lat) per
+    point: the nearest location on the line, its distance along the line from
+    the start, and the point→line deviation. Used by stop snapping
+    (snapGtfsStopsSequenceToGtfsShape.js:38-48), cospatiality
+    (getCospatialityOfLinestrings.js:51-55) and similarity (getSimilarity.js).
+
+    All-pairs vectorized: O(P * S) numpy, no Python loops.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    kx, ky = _local_plane(np.concatenate([xs, px]), np.concatenate([ys, py]))
+    # plane coords
+    X = xs * kx
+    Y = ys * ky
+    PX = px[:, None] * kx
+    PY = py[:, None] * ky
+    ax, ay = X[:-1][None, :], Y[:-1][None, :]
+    bx, by = X[1:][None, :], Y[1:][None, :]
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    t = np.where(L2 > 0, ((PX - ax) * dx + (PY - ay) * dy) / np.where(L2 > 0, L2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (PX - cx) ** 2 + (PY - cy) ** 2
+    seg_idx = np.argmin(d2, axis=1)
+    rows = np.arange(px.size)
+    tt = t[rows, seg_idx]
+    dev = np.sqrt(d2[rows, seg_idx])
+    seg_len, start_along = segmentize(xs, ys)
+    dist_along = start_along[seg_idx] + tt * seg_len[seg_idx]
+    snap_lon = cx[rows, seg_idx] / kx
+    snap_lat = cy[rows, seg_idx] / ky
+    return seg_idx, tt, dist_along, dev, snap_lon, snap_lat
+
+
+def rmsd_m(px, py, xs, ys) -> float:
+    """RMS of vertex→line deviations in METERS — reference
+    buildShstMatchSubGraphsPerGtfsShapeSegment.js:17-32."""
+    _, _, _, dev, _, _ = snap_points_to_polyline(px, py, xs, ys)
+    return float(np.sqrt(np.mean((dev * 1000.0) ** 2)))
+
+
+def line_slice_along(xs, ys, start_km: float, stop_km: float):
+    """Sub-linestring between two distances along the line
+    (turf.lineSliceAlong; reference GtfsNetworkDAO/loaders/index.js:104-130).
+    Returns (xs', ys') with interpolated end points."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    seg_len, start_along = segmentize(xs, ys)
+    total = start_along[-1] + seg_len[-1] if seg_len.size else 0.0
+    start_km = max(0.0, min(start_km, total))
+    stop_km = max(start_km, min(stop_km, total))
+    cum = np.concatenate([start_along, [total]])
+
+    def interp(d):
+        i = int(np.clip(np.searchsorted(cum, d, side="right") - 1, 0, seg_len.size - 1))
+        f = 0.0 if seg_len[i] == 0 else (d - cum[i]) / seg_len[i]
+        return (
+            xs[i] + f * (xs[i + 1] - xs[i]),
+            ys[i] + f * (ys[i + 1] - ys[i]),
+            i,
+        )
+
+    sx, sy, si = interp(start_km)
+    ex, ey, ei = interp(stop_km)
+    mid_x = xs[si + 1 : ei + 1]
+    mid_y = ys[si + 1 : ei + 1]
+    out_x = np.concatenate([[sx], mid_x, [ex]])
+    out_y = np.concatenate([[sy], mid_y, [ey]])
+    # drop consecutive duplicates (reference removeRedundantCoords.js:3-6)
+    keep = np.concatenate([[True], (np.diff(out_x) != 0) | (np.diff(out_y) != 0)])
+    return out_x[keep], out_y[keep]
+
+
+# ---------------------------------------------------------------------------
+# stop-sequence fitting (greedy check, then least-squares DP)
+# ---------------------------------------------------------------------------
+
+
+def fit_stops_to_path(stop_x, stop_y, xs, ys):
+    """Monotone min-Σdeviation² assignment of an ordered stop sequence to a
+    shape polyline — reference snapGtfsStopsSequenceToGtfsShape.js:33-166.
+
+    Greedy pass: per-stop best (deviation, then dist_along) projection; if the
+    resulting dist_alongs are monotone non-decreasing, accept. Otherwise run
+    the O(S·W²) DP minimizing total squared deviation subject to monotone
+    dist_along. Returns dict of arrays: seg_idx, dist_along_km, deviation_km,
+    snap_lon, snap_lat.
+    """
+    stop_x = np.asarray(stop_x, dtype=np.float64)
+    stop_y = np.asarray(stop_y, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    kx, ky = _local_plane(np.concatenate([xs, stop_x]), np.concatenate([ys, stop_y]))
+    X, Y = xs * kx, ys * ky
+    PX, PY = stop_x[:, None] * kx, stop_y[:, None] * ky
+    ax, ay = X[:-1][None, :], Y[:-1][None, :]
+    bx, by = X[1:][None, :], Y[1:][None, :]
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    t = np.where(L2 > 0, ((PX - ax) * dx + (PY - ay) * dy) / np.where(L2 > 0, L2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    # deviation (km) of every stop to every segment; dist_along of each cell
+    dev = np.sqrt((PX - cx) ** 2 + (PY - cy) ** 2)  # S x W
+    seg_len, start_along = segmentize(xs, ys)
+    dist_along = start_along[None, :] + t * seg_len[None, :]  # S x W
+
+    n_stops, n_segs = dev.shape
+
+    # greedy: argmin by (deviation, dist_along) — lexicographic
+    order = np.lexsort((dist_along, dev), axis=1)[:, 0]
+    rows = np.arange(n_stops)
+    greedy_along = dist_along[rows, order]
+    if np.all(np.diff(greedy_along) >= 0):
+        choice = order
+    else:
+        # DP (vectorized over segments per stop-row)
+        INF = np.inf
+        cost = dev[0] ** 2
+        back = np.full((n_stops, n_segs), -1, dtype=np.int64)
+        for s in range(1, n_stops):
+            # best previous cell with dist_along <= this cell's dist_along
+            ord_prev = np.argsort(dist_along[s - 1], kind="stable")
+            prev_along_sorted = dist_along[s - 1][ord_prev]
+            prev_cost_sorted = cost[ord_prev]
+            run_min = np.minimum.accumulate(prev_cost_sorted)
+            run_arg = ord_prev.copy()
+            for i in range(1, len(run_arg)):
+                if prev_cost_sorted[i] >= run_min[i - 1]:
+                    run_arg[i] = run_arg[i - 1]
+            pos = np.searchsorted(prev_along_sorted, dist_along[s], side="right") - 1
+            ok = pos >= 0
+            best_prev_cost = np.where(ok, run_min[np.clip(pos, 0, None)], INF)
+            best_prev_idx = np.where(ok, run_arg[np.clip(pos, 0, None)], -1)
+            cost = best_prev_cost + dev[s] ** 2
+            back[s] = best_prev_idx
+        end = int(np.argmin(cost))
+        choice = np.empty(n_stops, dtype=np.int64)
+        choice[-1] = end
+        for s in range(n_stops - 1, 0, -1):
+            choice[s - 1] = back[s][choice[s]]
+        if choice[0] < 0:  # no feasible monotone path — fall back to greedy
+            choice = order
+    kxy = rows
+    return {
+        "seg_idx": choice,
+        "dist_along_km": dist_along[kxy, choice],
+        "deviation_km": dev[kxy, choice],
+        "snap_lon": cx[kxy, choice] / kx,
+        "snap_lat": cy[kxy, choice] / ky,
+    }
+
+
+# ---------------------------------------------------------------------------
+# curve comparison (similarity / scoring)
+# ---------------------------------------------------------------------------
+
+
+def rdp_mask(xs, ys, eps_km: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask (iterative, planar km) — reference
+    lineStringsComparator.js uses turf.simplify before comparing."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    kx, ky = _local_plane(xs, ys)
+    X, Y = xs * kx, ys * ky
+    n = X.size
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay, bx, by = X[i], Y[i], X[j], Y[j]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        seg = slice(i + 1, j)
+        if L2 == 0:
+            d = np.hypot(X[seg] - ax, Y[seg] - ay)
+        else:
+            t = np.clip(((X[seg] - ax) * dx + (Y[seg] - ay) * dy) / L2, 0.0, 1.0)
+            d = np.hypot(X[seg] - (ax + t * dx), Y[seg] - (ay + t * dy))
+        k = int(np.argmax(d))
+        if d[k] > eps_km:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def resample_polyline(xs, ys, n: int):
+    """Resample to n evenly spaced (by arc length) points — reference
+    scoreChosenPaths/frechet.js:8-14 resamples both curves before scoring."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.size == 1:
+        return np.full(n, xs[0]), np.full(n, ys[0])
+    seg_len, start_along = segmentize(xs, ys)
+    total = start_along[-1] + seg_len[-1]
+    if total == 0:
+        return np.full(n, xs[0]), np.full(n, ys[0])
+    d = np.linspace(0.0, total, n)
+    cum = np.concatenate([start_along, [total]])
+    i = np.clip(np.searchsorted(cum, d, side="right") - 1, 0, seg_len.size - 1)
+    f = np.where(seg_len[i] > 0, (d - cum[i]) / np.where(seg_len[i] > 0, seg_len[i], 1), 0.0)
+    return xs[i] + f * (xs[i + 1] - xs[i]), ys[i] + f * (ys[i + 1] - ys[i])
+
+
+def discrete_frechet_km(ax, ay, bx, by) -> float:
+    """Discrete Fréchet distance between two polylines, km (dynamic
+    programming over the haversine coupling matrix) — the scoring metric of
+    reference scoreChosenPaths (frechet.js:19-35; the reference's
+    curve-matcher 'shapeSimilarity' plays the same role: one scalar curve
+    similarity per chosen path)."""
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    D = haversine_km(ax[:, None], ay[:, None], bx[None, :], by[None, :])
+    n, m = D.shape
+    ca = np.empty((n, m))
+    ca[0, 0] = D[0, 0]
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], D[0, j])
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], D[i, 0])
+        row_prev = ca[i - 1]
+        row = ca[i]
+        for j in range(1, m):
+            row[j] = max(min(row_prev[j], row_prev[j - 1], row[j - 1]), D[i, j])
+    return float(ca[-1, -1])
+
+
+def hausdorff_km(ax, ay, bx, by) -> float:
+    """Symmetric discrete Hausdorff distance (km) via snap deviations —
+    reference lineStringsComparator.js:17-61 approximates this with
+    translate + simplify + GDAL difference length."""
+    _, _, _, dev_ab, _, _ = snap_points_to_polyline(ax, ay, bx, by)
+    _, _, _, dev_ba, _, _ = snap_points_to_polyline(bx, by, ax, ay)
+    return float(max(dev_ab.max(), dev_ba.max()))
+
+
+def similarity_stats(ax, ay, bx, by) -> dict:
+    """Bidirectional snap-deviation stats — reference getSimilarity.js:24-172
+    (mean/std/quantiles of vertex→other-line deviations)."""
+    _, _, _, dev_ab, _, _ = snap_points_to_polyline(ax, ay, bx, by)
+    _, _, _, dev_ba, _, _ = snap_points_to_polyline(bx, by, ax, ay)
+    dev = np.concatenate([dev_ab, dev_ba])
+    return {
+        "mean_km": float(dev.mean()),
+        "std_km": float(dev.std()),
+        "p50_km": float(np.quantile(dev, 0.5)),
+        "p95_km": float(np.quantile(dev, 0.95)),
+        "max_km": float(dev.max()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# cospatiality — 1-D interval algebra along two lines
+# ---------------------------------------------------------------------------
+# The reference buffers one line by 5e-7 deg and intersects
+# (getCospatialityOfLinestrings.js:11-13,38-166) but only ever CONSUMES the
+# along-line interval offsets of the overlap. We compute those intervals
+# directly: project each line's vertices onto the other, keep the portions
+# within the corridor radius.
+
+SHORT_SEG_CUTOFF_KM = 0.002  # 2 m (getCospatialityOfLinestrings.js:13)
+
+
+def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
+    """Overlap of polylines A and B within a corridor radius.
+
+    Returns None if no overlap, else dict with the reference's observable
+    outputs (loaders.js:195-274 consumes exactly these four offsets):
+      a_start_km / a_end_km   — overlap interval along A
+      b_start_km / b_end_km   — overlap interval along B
+      intxn_len_km            — overlap length along A
+    """
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    a_len = polyline_length_km(ax, ay)
+    b_len = polyline_length_km(bx, by)
+    if a_len < SHORT_SEG_CUTOFF_KM or b_len < SHORT_SEG_CUTOFF_KM:
+        return None
+    # densify A so the corridor test has enough sample resolution
+    axd, ayd = ax, ay
+    for _ in range(2):
+        axd, ayd = midpoints(axd, ayd)
+    _, _, along_a, dev_a, _, _ = snap_points_to_polyline(axd, ayd, bx, by)
+    # along-A positions of the densified vertices
+    seg_len_a, start_a = segmentize(axd, ayd)
+    pos_a = np.concatenate([start_a, [a_len]])
+    within = dev_a <= radius_km
+    if not np.any(within):
+        return None
+    idx = np.where(within)[0]
+    a_start = float(pos_a[idx[0]])
+    a_end = float(pos_a[idx[-1]])
+    b_vals = along_a[within]
+    b_start = float(np.min(b_vals))
+    b_end = float(np.max(b_vals))
+    intxn = a_end - a_start
+    if intxn <= 0.001:  # >1 m intersection predicate (loaders.js:56)
+        return None
+    return {
+        "a_start_km": a_start,
+        "a_end_km": a_end,
+        "b_start_km": b_start,
+        "b_end_km": b_end,
+        "intxn_len_km": intxn,
+    }
+
+
+# ---------------------------------------------------------------------------
+# sequentiality / merging
+# ---------------------------------------------------------------------------
+
+
+def sequentiality(a_end_lon, a_end_lat, b_start_lon, b_start_lat, a_bearing, b_bearing):
+    """Gap distance (km) + relative bearing between path A's end and path B's
+    start — reference getSequentiality.js:16-64."""
+    gap = float(haversine_km(a_end_lon, a_end_lat, b_start_lon, b_start_lat))
+    rel = float((b_bearing - a_bearing + 180.0) % 360.0 - 180.0)
+    return gap, rel
+
+
+MERGE_GAP_KM = 0.002  # 2 m end→start merge tolerance (mergeLineStringsGeospatially.js)
+
+
+def bearing_split_indices(xs, ys, max_turn_deg: float = 67.5) -> np.ndarray:
+    """Vertex indices where bearing change exceeds max_turn_deg — reference
+    splitLineStringUsingSmoothness.js:8,50-81."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.size < 3:
+        return np.empty(0, dtype=np.int64)
+    b = bearing_deg(xs[:-1], ys[:-1], xs[1:], ys[1:])
+    turn = np.abs((np.diff(b) + 180.0) % 360.0 - 180.0)
+    return np.where(turn > max_turn_deg)[0] + 1
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon + corridor membership
+# ---------------------------------------------------------------------------
+
+
+def point_in_ring(px, py, ring_x, ring_y) -> np.ndarray:
+    """Even-odd-rule PIP, vectorized over points — the geopoly_overlap
+    refine step (reference ConflationMapDAO/generators.js:24-40)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    x1, y1 = rx, ry
+    x2, y2 = np.roll(rx, -1), np.roll(ry, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(rx.size):
+        cond = ((y1[i] > py) != (y2[i] > py)) & (
+            px < (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i] + 1e-300) + x1[i]
+        )
+        inside ^= cond
+    return inside
+
+
+def buffer_ring(xs, ys, radius_km: float = 0.005, cap_pts: int = 4):
+    """Corridor polygon ring around a polyline (5 m default — reference
+    ConflationMapDAO/loaders.js:104-122 buffers segments by 5 m for the
+    geopoly index). Offsets each vertex perpendicular to local direction."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    kx, ky = _local_plane(xs, ys)
+    X, Y = xs * kx, ys * ky
+    dX = np.gradient(X)
+    dY = np.gradient(Y)
+    L = np.hypot(dX, dY)
+    L = np.where(L == 0, 1.0, L)
+    nx, ny = -dY / L, dX / L
+    left_x = (X + nx * radius_km) / kx
+    left_y = (Y + ny * radius_km) / ky
+    right_x = (X - nx * radius_km) / kx
+    right_y = (Y - ny * radius_km) / ky
+    ring_x = np.concatenate([left_x, right_x[::-1], left_x[:1]])
+    ring_y = np.concatenate([left_y, right_y[::-1], left_y[:1]])
+    return ring_x, ring_y
