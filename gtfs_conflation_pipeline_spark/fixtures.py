@@ -1,0 +1,367 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §2-3).
+
+One numpy source of truth: every value is a closed-form function of the row
+index `i` (no RNG state, no wall clock), so the Spark generators
+(mapInPandas over spark.range) and the single-process numpy oracle produce
+bit-identical tables at any scale, in any partitioning.
+
+The primary table is `images` — the BASELINE.json input_hint shape:
+  (image_id string, bytes binary, w int, h int, fmt string, caption string,
+   phash int64)
+Each image row is one GTFS shape-point observation; its coordinates are
+recoverable from `phash` (invertible bit-pack), which is how the geo pipeline
+derives the GTFS-analog tables from the image table without ever reading the
+pixel payload (Parquet column pruning keeps `bytes` out of the scan).
+
+Geometry domain ≈ NYS (lon -74.5±, lat 42±), matching the reference's
+"all of NYS's GTFS" domain (GeoJsonGtfsDAO/generators.js:204-226).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernels as K
+
+PTS_PER_SHAPE = 50
+STOP_EVERY = 10  # every 10th shape point is a stop
+CHUNK = 10  # OSM segment = chunk of 10 shape-point steps
+TRIPS_PER_SHAPE = 3
+LON0, LAT0 = -74.5, 41.8
+PHASH_MASK = np.uint64(0xFFFFF)
+
+# ---------------------------------------------------------------------------
+# closed-form numpy core (shared by Spark generators and the e2e oracle)
+# ---------------------------------------------------------------------------
+
+
+def shape_point(i: np.ndarray):
+    """(shape_idx, pt_seq, lon, lat) for image rows i — closed-form smooth
+    polylines: per-shape base point + parametric curve, rounded to 6 dp
+    (reference roundGeometryCoordinates.js PRECISION=6)."""
+    i = np.asarray(i, dtype=np.int64)
+    s = i // PTS_PER_SHAPE
+    j = i % PTS_PER_SHAPE
+    h = K.splitmix64(s.astype(np.uint64))
+    u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    u2 = (h >> np.uint64(32)).astype(np.float64) / 2**32
+    lon_base = LON0 + u1 * 1.0
+    lat_base = LAT0 + u2 * 0.8
+    theta = u1 * 2 * np.pi
+    phase = u2 * 2 * np.pi
+    jj = j.astype(np.float64)
+    # ~60 m steps + gentle curvature -> shape length ~3 km (>2 km split case)
+    lon = lon_base + 6.0e-4 * jj * np.cos(theta) + 2.5e-4 * np.sin(jj / 5.0 + phase)
+    lat = lat_base + 4.5e-4 * jj * np.sin(theta) + 2.5e-4 * np.cos(jj / 7.0 + phase)
+    return s, j, K.round6(lon), K.round6(lat)
+
+
+def phash_from_lonlat(lon, lat) -> np.ndarray:
+    """Invertible pack: bits 32..51 = lon offset at 1e-5 deg, bits 0..19 =
+    lat offset (FIXTURES.md: phash <-> location fixed invertible mapping)."""
+    lon_q = np.round((np.asarray(lon) - LON0) * 1e5).astype(np.int64).astype(np.uint64)
+    lat_q = np.round((np.asarray(lat) - LAT0) * 1e5).astype(np.int64).astype(np.uint64)
+    return (((lon_q & PHASH_MASK) << np.uint64(32)) | (lat_q & PHASH_MASK)).astype(np.int64)
+
+
+def lonlat_from_phash(phash) -> tuple[np.ndarray, np.ndarray]:
+    p = np.asarray(phash).astype(np.uint64)
+    lon = LON0 + ((p >> np.uint64(32)) & PHASH_MASK).astype(np.float64) * 1e-5
+    lat = LAT0 + (p & PHASH_MASK).astype(np.float64) * 1e-5
+    return K.round6(lon), K.round6(lat)
+
+
+def image_dims(i: np.ndarray):
+    h64 = K.splitmix64(np.asarray(i, dtype=np.int64).astype(np.uint64))
+    w = (16 + ((h64 >> np.uint64(8)) % np.uint64(49))).astype(np.int32)
+    hh = (16 + ((h64 >> np.uint64(16)) % np.uint64(49))).astype(np.int32)
+    return h64, w, hh
+
+
+def image_pixels(i: int) -> np.ndarray:
+    """Deterministic pixel payload for row i (FIXTURES.md generation rule)."""
+    h64, w, hh = image_dims(np.array([i]))
+    n = int(w[0]) * int(hh[0]) * 3
+    base = (np.arange(n, dtype=np.uint64) + (h64[0] & np.uint64(0xFF))) & np.uint64(0xFF)
+    return base.astype(np.uint8).reshape(int(w[0]), int(hh[0]), 3)
+
+
+def images_batch(i: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
+    """One Arrow batch of the images table for row ids i."""
+    i = np.asarray(i, dtype=np.int64)
+    s, j, lon, lat = shape_point(i)
+    h64, w, hh = image_dims(i)
+    seg = j // STOP_EVERY
+    caption = np.char.add(
+        np.char.add(
+            np.char.add("shape shp_", np.char.zfill(s.astype(str), 5)),
+            np.char.add(" seg ", seg.astype(str)),
+        ),
+        np.char.add(" pt ", j.astype(str)),
+    )
+    out = {
+        "image_id": np.char.add("img_", np.char.zfill(i.astype(str), 12)),
+        "w": w,
+        "h": hh,
+        "fmt": np.full(i.size, "raw", dtype=object),
+        "caption": caption,
+        "phash": phash_from_lonlat(lon, lat),
+    }
+    if with_bytes:
+        lens = (w.astype(np.int64) * hh.astype(np.int64) * 3).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        flat = (
+            np.concatenate([np.arange(n, dtype=np.uint64) for n in lens])
+            + np.repeat(h64 & np.uint64(0xFF), lens)
+        ) & np.uint64(0xFF)
+        flat = flat.astype(np.uint8)
+        out["bytes"] = [flat[offs[k] : offs[k + 1]].tobytes() for k in range(i.size)]
+    else:
+        out["bytes"] = [b""] * i.size
+    return pd.DataFrame(
+        {c: out[c] for c in ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]}
+    )
+
+
+def osm_segment_batch(seg_ids: np.ndarray) -> pd.DataFrame:
+    """OSM-side segments (the conflation-map / SharedStreets analog,
+    reference ConflationMapDAO/createTableFns.js:3-22).
+
+    Segment c of shape s covers shape points [c*CHUNK, (c+1)*CHUNK].
+    Deterministic perturbations exercise the matcher (FIXTURES.md §3):
+      (s + c) % 10 == 0 -> segment dropped            (candidate miss)
+      (s + c) % 10 == 1 -> coords shifted ~3 m        (kNN tolerance)
+      (s + c) % 10 == 2 -> an EXTRA distractor 300 m north is added
+    """
+    rows = []
+    n_chunks = PTS_PER_SHAPE // CHUNK
+    for g in np.asarray(seg_ids, dtype=np.int64):
+        s, c = g // n_chunks, g % n_chunks
+        j0 = c * CHUNK
+        j1 = min(j0 + CHUNK, PTS_PER_SHAPE - 1)
+        idx = s * PTS_PER_SHAPE + np.arange(j0, j1 + 1)
+        _, _, lon, lat = shape_point(idx)
+        mode = int((s + c) % 10)
+        if mode == 0:
+            continue  # dropped segment
+        if mode == 1:
+            lon = K.round6(lon + 3e-5)
+        rows.append((int(g), s, c, lon, lat, 0))
+        if mode == 2:
+            rows.append((int(g), s, c, lon, K.round6(lat + 3e-3), 1))
+    out = {
+        "segment_id": [],
+        "shst_reference": [],
+        "networklevel": [],
+        "length_km": [],
+        "xs": [],
+        "ys": [],
+    }
+    for g, s, c, lon, lat, distractor in rows:
+        out["segment_id"].append(g * 2 + distractor)
+        out["shst_reference"].append(
+            f"shst_{s:05d}_{c}" if not distractor else f"shst_x_{s:05d}_{c}"
+        )
+        out["networklevel"].append(int((s + c) % 7))
+        out["length_km"].append(K.polyline_length_km(lon, lat))
+        out["xs"].append(lon)
+        out["ys"].append(lat)
+    return pd.DataFrame(out)
+
+
+def n_shapes_for(n_images: int) -> int:
+    return max(1, n_images // PTS_PER_SHAPE)
+
+
+def stop_jitter(s: np.ndarray, seq: np.ndarray):
+    """Numpy twin of the stop-jitter arithmetic in raw_tables()."""
+    h = np.asarray(s, dtype=np.int64) * 37 + np.asarray(seq, dtype=np.int64) * 101
+    dlat = ((h % 21) - 10) * 1e-5
+    dlon = ((h % 19) - 9) * 1e-5
+    return dlon, dlat
+
+
+# ---------------------------------------------------------------------------
+# Spark generators (mapInPandas over spark.range — embarrassingly parallel,
+# no shuffle; scales to 10^12 rows by partition count alone)
+# ---------------------------------------------------------------------------
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+OSM_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("shst_reference", T.StringType(), False),
+        T.StructField("networklevel", T.IntegerType(), False),
+        T.StructField("length_km", T.DoubleType(), False),
+        T.StructField("xs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("ys", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def images_table(
+    spark: SparkSession,
+    n_images: int,
+    partitions: int | None = None,
+    with_bytes: bool = True,
+) -> DataFrame:
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield images_batch(pdf["id"].values, with_bytes=with_bytes)
+
+    return spark.range(0, n_images, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def osm_segments_table(
+    spark: SparkSession, n_images: int, partitions: int | None = None
+) -> DataFrame:
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+    n_chunks = PTS_PER_SHAPE // CHUNK
+    n_seg_slots = n_shapes_for(n_images) * n_chunks
+
+    def gen(batches):
+        for pdf in batches:
+            yield osm_segment_batch(pdf["id"].values)
+
+    return spark.range(0, n_seg_slots, numPartitions=parts).mapInPandas(gen, OSM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GTFS-analog relational tables (derived from the images table — the pipeline
+# input side; schemas mirror reference RawGtfsDAO/createTableFns.js)
+# ---------------------------------------------------------------------------
+
+
+def raw_tables(spark: SparkSession, images: DataFrame) -> dict[str, DataFrame]:
+    """Derive raw.{shapes,stops,trips,stop_times,routes,calendar,
+    calendar_dates,feed_info} from the images table.
+
+    Only (image_id, phash) are read — Parquet column pruning drops `bytes`.
+    """
+    i_col = F.substring("image_id", 5, 12).cast("long")
+    s_col = (i_col / PTS_PER_SHAPE).cast("long")
+    j_col = i_col % PTS_PER_SHAPE
+    lon_col = F.lit(LON0) + F.shiftright("phash", 32).bitwiseAND(0xFFFFF) * 1e-5
+    lat_col = F.lit(LAT0) + F.col("phash").bitwiseAND(0xFFFFF) * 1e-5
+
+    base = images.select(
+        F.format_string("shp_%05d", s_col).alias("shape_id"),
+        s_col.alias("s"),
+        j_col.alias("shape_pt_sequence"),
+        F.round(lon_col, 6).alias("shape_pt_lon"),
+        F.round(lat_col, 6).alias("shape_pt_lat"),
+    )
+
+    shapes = base.select(
+        "shape_id",
+        "shape_pt_lat",
+        "shape_pt_lon",
+        F.col("shape_pt_sequence").cast("int").alias("shape_pt_sequence"),
+        F.lit(None).cast("double").alias("shape_dist_traveled"),
+    )
+
+    # stops: every STOP_EVERY-th point, deterministic <=20 m jitter — plain
+    # arithmetic so the numpy oracle reproduces it exactly (stop_jitter())
+    stop_base = base.filter(F.col("shape_pt_sequence") % STOP_EVERY == 0)
+    h = F.col("s") * 37 + F.col("shape_pt_sequence") * 101
+    stops = stop_base.select(
+        F.format_string("stop_%05d_%d", F.col("s"), F.col("shape_pt_sequence")).alias(
+            "stop_id"
+        ),
+        F.format_string("Stop %d of %d", F.col("shape_pt_sequence"), F.col("s")).alias(
+            "stop_name"
+        ),
+        F.round(F.col("shape_pt_lat") + ((h % 21) - 10) * 1e-5, 6).alias("stop_lat"),
+        F.round(F.col("shape_pt_lon") + ((h % 19) - 9) * 1e-5, 6).alias("stop_lon"),
+    )
+
+    n_shapes = images.count() // PTS_PER_SHAPE or 1
+    shape_ids = spark.range(0, n_shapes).select(
+        F.col("id").alias("s"), F.format_string("shp_%05d", "id").alias("shape_id")
+    )
+
+    trips = (
+        shape_ids.crossJoin(spark.range(0, TRIPS_PER_SHAPE).select(F.col("id").alias("t")))
+        .select(
+            F.format_string("route_%04d", (F.col("s") / 4).cast("long")).alias("route_id"),
+            F.when(F.col("t") < 2, "svc_wk").otherwise("svc_we").alias("service_id"),
+            F.format_string("trip_%05d_%d", "s", "t").alias("trip_id"),
+            (F.col("t") % 2).cast("string").alias("direction_id"),
+            "shape_id",
+        )
+    )
+
+    # stop_times: for each trip, visit that shape's stops in order; trip t
+    # starts at 06:00 + t*90min; 5 min between stops
+    stop_seq = spark.range(0, PTS_PER_SHAPE // STOP_EVERY).select(F.col("id").alias("k"))
+    st_base = (
+        shape_ids.crossJoin(spark.range(0, TRIPS_PER_SHAPE).select(F.col("id").alias("t")))
+        .crossJoin(stop_seq)
+    )
+    dep_sec = (6 * 3600) + F.col("t") * 5400 + F.col("k") * 300
+    hhmmss = F.format_string(
+        "%02d:%02d:%02d", (dep_sec / 3600).cast("long"), (dep_sec % 3600 / 60).cast("long"), dep_sec % 60
+    )
+    stop_times = st_base.select(
+        F.format_string("trip_%05d_%d", "s", "t").alias("trip_id"),
+        hhmmss.alias("arrival_time"),
+        hhmmss.alias("departure_time"),
+        F.format_string("stop_%05d_%d", F.col("s"), F.col("k") * STOP_EVERY).alias("stop_id"),
+        (F.col("k") + 1).cast("int").alias("stop_sequence"),
+        F.lit(None).cast("double").alias("shape_dist_traveled"),
+    )
+
+    routes = (
+        shape_ids.select((F.col("s") / 4).cast("long").alias("r"))
+        .distinct()
+        .select(
+            F.format_string("route_%04d", "r").alias("route_id"),
+            F.format_string("R%d", "r").alias("route_short_name"),
+            (F.col("r") % 4).cast("int").alias("route_type"),
+        )
+    )
+
+    calendar = spark.createDataFrame(
+        [
+            ("svc_wk", 1, 1, 1, 1, 1, 0, 0, "20240101", "20240128"),
+            ("svc_we", 0, 0, 0, 0, 0, 1, 1, "20240101", "20240128"),
+        ],
+        "service_id string, monday int, tuesday int, wednesday int, thursday int,"
+        " friday int, saturday int, sunday int, start_date string, end_date string",
+    )
+    calendar_dates = spark.createDataFrame(
+        [("svc_wk", "20240115", 2), ("svc_we", "20240116", 1)],
+        "service_id string, date string, exception_type int",
+    )
+    feed_info = spark.createDataFrame(
+        [("synthetic-fixture", "20240101", "20240128")],
+        "feed_publisher_name string, feed_start_date string, feed_end_date string",
+    )
+
+    return {
+        "shapes": shapes,
+        "stops": stops,
+        "trips": trips,
+        "stop_times": stop_times,
+        "routes": routes,
+        "calendar": calendar,
+        "calendar_dates": calendar_dates,
+        "feed_info": feed_info,
+    }
