@@ -1,0 +1,142 @@
+"""Stage checkpointing with per-partition lineage manifests.
+
+The reference pipeline is 9 sequential CLI stages, each committing into its
+own SQLite file (DbService/index.js:27-54) — re-running a stage is safe
+because it drops/recreates its tables in one transaction. Our analog
+(north-rule requirement): every stage writes Parquet (Iceberg-shaped layout:
+``data/`` + ``_manifest/``), plus a per-partition lineage manifest recording
+rows out, key extents and metric counters. A stage whose manifest is complete
+is skipped on re-run (idempotent resume); a partial write (no manifest) is
+overwritten atomically by the next run.
+
+No Iceberg jars ship in this sandbox; the layout and commit protocol are
+Iceberg-compatible (atomic replace of data + manifest marker) so the write
+format can be swapped via config on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+class CheckpointManager:
+    def __init__(self, root: str, verbose: bool = False):
+        self.root = root
+        self.verbose = verbose
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _data(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "data")
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), MANIFEST)
+
+    # -- protocol ------------------------------------------------------------
+    def is_complete(self, stage: str) -> bool:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                return json.load(f).get("complete", False)
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self._data(stage))
+
+    def manifest(self, stage: str) -> dict:
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f)
+
+    def write(
+        self,
+        df: DataFrame,
+        stage: str,
+        metrics: dict | None = None,
+        cell_col: str | None = None,
+    ) -> DataFrame:
+        """Write a stage output + per-partition lineage manifest.
+
+        Lineage per written partition: rows_out, and (if ``cell_col`` is a
+        column of cell/tile ids) the count of distinct cells touched — the
+        north rule's per-partition metrics (rows in/out, cells touched).
+        """
+        spark = df.sparkSession
+        d = self._data(stage)
+        tmp_manifest = self._manifest_path(stage) + ".tmp"
+        if os.path.exists(self._manifest_path(stage)):
+            os.remove(self._manifest_path(stage))
+
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(d)
+        out = spark.read.parquet(d)
+
+        # per-file (== per written partition) lineage rows
+        agg = [F.count(F.lit(1)).alias("rows_out")]
+        if cell_col and cell_col in out.columns:
+            agg.append(F.approx_count_distinct(cell_col).alias("cells_touched"))
+        part_rows = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(*agg)
+            .collect()
+        )
+        manifest = {
+            "stage": stage,
+            "complete": True,
+            "written_at": time.time(),
+            "wall_sec": round(time.time() - t0, 3),
+            "rows_out": sum(r["rows_out"] for r in part_rows),
+            "n_partitions": len(part_rows),
+            "partitions": [
+                {
+                    "file": os.path.basename(r["file"]),
+                    "rows_out": r["rows_out"],
+                    **(
+                        {"cells_touched": r["cells_touched"]}
+                        if "cells_touched" in r.asDict()
+                        else {}
+                    ),
+                }
+                for r in part_rows
+            ],
+            "metrics": metrics or {},
+        }
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp_manifest, self._manifest_path(stage))  # atomic commit
+        return out
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        metrics_fn: Callable[[DataFrame], dict] | None = None,
+        cell_col: str | None = None,
+    ) -> DataFrame:
+        """Compute-or-resume: skip ``fn`` entirely if the stage's manifest is
+        complete (the reference's per-stage re-runnability, run:41-49)."""
+        if self.is_complete(stage):
+            if self.verbose:
+                print(f"[ckpt] resume {stage}: skipping compute")
+            return self.read(spark, stage)
+        df = fn()
+        metrics = metrics_fn(df) if metrics_fn else None
+        return self.write(df, stage, metrics=metrics, cell_col=cell_col)
+
+    def invalidate(self, stage: str) -> None:
+        shutil.rmtree(self._dir(stage), ignore_errors=True)

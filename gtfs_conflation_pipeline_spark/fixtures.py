@@ -41,23 +41,33 @@ PHASH_MASK = np.uint64(0xFFFFF)
 
 def shape_point(i: np.ndarray):
     """(shape_idx, pt_seq, lon, lat) for image rows i — closed-form smooth
-    polylines: per-shape base point + parametric curve, rounded to 6 dp
-    (reference roundGeometryCoordinates.js PRECISION=6)."""
+    polylines: per-shape base point + parametric curve.
+
+    Coordinates are quantized to the phash grid (1e-5 deg) THROUGH the same
+    decode arithmetic as `lonlat_from_phash` / the engine's phash-decoding
+    column expressions (LON0 + q*1e-5 with integer q), so every consumer —
+    numpy oracle, Spark generator, phash round-trip — produces bit-identical
+    doubles. Bases are clamped 0.05 deg inside the domain so the curve drift
+    (<0.03 deg) can never go negative relative to (LON0, LAT0), which would
+    wrap the 20-bit phash offsets.
+    """
     i = np.asarray(i, dtype=np.int64)
     s = i // PTS_PER_SHAPE
     j = i % PTS_PER_SHAPE
     h = K.splitmix64(s.astype(np.uint64))
     u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
     u2 = (h >> np.uint64(32)).astype(np.float64) / 2**32
-    lon_base = LON0 + u1 * 1.0
-    lat_base = LAT0 + u2 * 0.8
+    lon_base = LON0 + 0.05 + u1 * 0.9
+    lat_base = LAT0 + 0.05 + u2 * 0.7
     theta = u1 * 2 * np.pi
     phase = u2 * 2 * np.pi
     jj = j.astype(np.float64)
     # ~60 m steps + gentle curvature -> shape length ~3 km (>2 km split case)
     lon = lon_base + 6.0e-4 * jj * np.cos(theta) + 2.5e-4 * np.sin(jj / 5.0 + phase)
     lat = lat_base + 4.5e-4 * jj * np.sin(theta) + 2.5e-4 * np.cos(jj / 7.0 + phase)
-    return s, j, K.round6(lon), K.round6(lat)
+    q_lon = np.round((lon - LON0) * 1e5).astype(np.int64)
+    q_lat = np.round((lat - LAT0) * 1e5).astype(np.int64)
+    return s, j, LON0 + q_lon * 1e-5, LAT0 + q_lat * 1e-5
 
 
 def phash_from_lonlat(lon, lat) -> np.ndarray:
@@ -261,12 +271,15 @@ def raw_tables(spark: SparkSession, images: DataFrame) -> dict[str, DataFrame]:
     lon_col = F.lit(LON0) + F.shiftright("phash", 32).bitwiseAND(0xFFFFF) * 1e-5
     lat_col = F.lit(LAT0) + F.col("phash").bitwiseAND(0xFFFFF) * 1e-5
 
+    # NOTE no rounding: coords are already 1e-5-quantized by construction and
+    # the decode arithmetic (LON0 + q*1e-5) is the bit-exact contract between
+    # Spark and the numpy oracle — rounding functions differ between engines.
     base = images.select(
         F.format_string("shp_%05d", s_col).alias("shape_id"),
         s_col.alias("s"),
         j_col.alias("shape_pt_sequence"),
-        F.round(lon_col, 6).alias("shape_pt_lon"),
-        F.round(lat_col, 6).alias("shape_pt_lat"),
+        lon_col.alias("shape_pt_lon"),
+        lat_col.alias("shape_pt_lat"),
     )
 
     shapes = base.select(
@@ -288,8 +301,8 @@ def raw_tables(spark: SparkSession, images: DataFrame) -> dict[str, DataFrame]:
         F.format_string("Stop %d of %d", F.col("shape_pt_sequence"), F.col("s")).alias(
             "stop_name"
         ),
-        F.round(F.col("shape_pt_lat") + ((h % 21) - 10) * 1e-5, 6).alias("stop_lat"),
-        F.round(F.col("shape_pt_lon") + ((h % 19) - 9) * 1e-5, 6).alias("stop_lon"),
+        (F.col("shape_pt_lat") + ((h % 21) - 10) * 1e-5).alias("stop_lat"),
+        (F.col("shape_pt_lon") + ((h % 19) - 9) * 1e-5).alias("stop_lon"),
     )
 
     n_shapes = images.count() // PTS_PER_SHAPE or 1

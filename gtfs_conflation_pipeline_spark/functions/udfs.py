@@ -1,0 +1,75 @@
+"""Arrow-vectorized pandas_udf wrappers around the numpy kernels.
+
+These are the ONLY Python entry points on the hot path — every one receives
+Arrow batches and runs numpy kernels; no per-row Python UDFs exist in this
+engine (north-rule requirement; enforced by tests/test_no_row_udfs.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels as K
+
+
+@F.pandas_udf(T.DoubleType())
+def length_km(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """Polyline haversine length (turf.length) per row."""
+    return pd.Series(
+        [K.polyline_length_km(np.asarray(x), np.asarray(y)) for x, y in zip(xs, ys)]
+    )
+
+
+@F.pandas_udf(T.LongType())
+def cell_of(lon: pd.Series, lat: pd.Series, cell_deg: pd.Series) -> pd.Series:
+    """Morton cell id of a point at the given resolution."""
+    return pd.Series(K.cell_id(lon.values, lat.values, float(cell_deg.iloc[0])))
+
+
+def make_cover_cells_udf(cell_deg: float, ring: int):
+    """Cover cells of a polyline (cells of midpoint-densified vertices,
+    optionally k-ring dilated) — the candidate-generation key set.
+
+    Returned as array<long>; explode() downstream. ring widening is the
+    Spark analog of the reference's retry ladder
+    (shstMatchFeatures.js:283-362 — a miss widens the search radius).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover_cells(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            if x.size >= 2:
+                x, y = K.midpoints(x, y)
+            out.append(K.cell_cover_of_points(x, y, cell_deg, ring=ring))
+        return pd.Series(out)
+
+    return cover_cells
+
+
+def make_tiles_udf(zoom_by_row: bool = True):
+    """Tile keys covering a polyline at its per-row zoom."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def tiles_of(xs: pd.Series, ys: pd.Series, zoom: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                K.tiles_for_polyline(np.asarray(x), np.asarray(y), int(z))
+                for x, y, z in zip(xs, ys, zoom)
+            ]
+        )
+
+    return tiles_of
+
+
+@F.pandas_udf(T.StringType())
+def geoprox_key_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """Reference-parity base-36 geoprox key (getGeoProximityKey.js)."""
+    return pd.Series(
+        [K.geoprox_key(np.asarray(x), np.asarray(y)) for x, y in zip(xs, ys)]
+    )

@@ -546,14 +546,18 @@ def similarity_stats(ax, ay, bx, by) -> dict:
 SHORT_SEG_CUTOFF_KM = 0.002  # 2 m (getCospatialityOfLinestrings.js:13)
 
 
-def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
-    """Overlap of polylines A and B within a corridor radius.
+def corridor_match(ax, ay, bx, by, radius_km: float = 0.005):
+    """Corridor overlap of A against B with deviation stats.
 
-    Returns None if no overlap, else dict with the reference's observable
-    outputs (loaders.js:195-274 consumes exactly these four offsets):
-      a_start_km / a_end_km   — overlap interval along A
-      b_start_km / b_end_km   — overlap interval along B
-      intxn_len_km            — overlap length along A
+    The one-pass refine kernel of the candidate spatial join: densify A,
+    project its vertices onto B, keep the along-A interval whose deviation is
+    within ``radius_km``. Returns None when the overlap is absent, shorter
+    than 1 m (intersection-length predicate, GtfsConflationMapJoinDAO/
+    loaders.js:56), or either line is under the 2 m cutoff
+    (getCospatialityOfLinestrings.js:13).
+
+    Output keys: a_start_km, a_end_km (interval along A), b_start_km,
+    b_end_km (interval along B), intxn_len_km, mean_dev_km, max_dev_km.
     """
     ax = np.asarray(ax, dtype=np.float64)
     ay = np.asarray(ay, dtype=np.float64)
@@ -563,12 +567,10 @@ def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
     b_len = polyline_length_km(bx, by)
     if a_len < SHORT_SEG_CUTOFF_KM or b_len < SHORT_SEG_CUTOFF_KM:
         return None
-    # densify A so the corridor test has enough sample resolution
     axd, ayd = ax, ay
     for _ in range(2):
         axd, ayd = midpoints(axd, ayd)
-    _, _, along_a, dev_a, _, _ = snap_points_to_polyline(axd, ayd, bx, by)
-    # along-A positions of the densified vertices
+    _, _, along_b, dev_a, _, _ = snap_points_to_polyline(axd, ayd, bx, by)
     seg_len_a, start_a = segmentize(axd, ayd)
     pos_a = np.concatenate([start_a, [a_len]])
     within = dev_a <= radius_km
@@ -577,19 +579,34 @@ def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
     idx = np.where(within)[0]
     a_start = float(pos_a[idx[0]])
     a_end = float(pos_a[idx[-1]])
-    b_vals = along_a[within]
-    b_start = float(np.min(b_vals))
-    b_end = float(np.max(b_vals))
     intxn = a_end - a_start
-    if intxn <= 0.001:  # >1 m intersection predicate (loaders.js:56)
+    if intxn <= 0.001:
         return None
+    b_vals = along_b[within]
     return {
         "a_start_km": a_start,
         "a_end_km": a_end,
-        "b_start_km": b_start,
-        "b_end_km": b_end,
+        "b_start_km": float(np.min(b_vals)),
+        "b_end_km": float(np.max(b_vals)),
         "intxn_len_km": intxn,
+        "mean_dev_km": float(np.mean(dev_a[within])),
+        "max_dev_km": float(np.max(dev_a[within])),
     }
+
+
+def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
+    """Overlap of polylines A and B within a corridor radius.
+
+    Returns None if no overlap, else dict with the reference's observable
+    outputs (loaders.js:195-274 consumes exactly these four offsets):
+      a_start_km / a_end_km   — overlap interval along A
+      b_start_km / b_end_km   — overlap interval along B
+      intxn_len_km            — overlap length along A
+    """
+    r = corridor_match(ax, ay, bx, by, radius_km=radius_km)
+    if r is None:
+        return None
+    return {k: r[k] for k in ("a_start_km", "a_end_km", "b_start_km", "b_end_km", "intxn_len_km")}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,142 @@
+"""Stage 3 analog — stop-sequence snapping + shape slicing.
+
+Reference: ``./run gtfs_network`` (SURVEY.md §3.1): per GTFS shape, fit the
+ordered stop sequence to the shape polyline (greedy, then least-squares DP —
+snapGtfsStopsSequenceToGtfsShape.js:33-166), then slice the shape at the
+snapped stop positions into stop-to-stop segments with a connectivity patch
+(loaders/index.js:104-146).
+
+Spark shape: ONE grouped applyInPandas per shape_id. The algorithm is
+shape-local (no cross-shape state), so max parallelism = number of shapes and
+the only shuffle is the groupBy(shape_id). Group payloads are bounded
+(shapes are <= a few thousand points), so no spill concern at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import kernels as K
+
+SEGMENTS_SCHEMA = (
+    "shape_id string, shape_index int, from_stop_id string, to_stop_id string, "
+    "start_dist_km double, length_km double, xs array<double>, ys array<double>"
+)
+
+
+def _fit_and_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped kernel: one row in = one shape (xs, ys, stop arrays);
+    rows out = its stop-to-stop segments."""
+    row = pdf.iloc[0]
+    xs = np.asarray(row["xs"], dtype=np.float64)
+    ys = np.asarray(row["ys"], dtype=np.float64)
+    stop_ids = list(row["stop_ids"])
+    sx = np.asarray(row["stop_lons"], dtype=np.float64)
+    sy = np.asarray(row["stop_lats"], dtype=np.float64)
+    out = {
+        "shape_id": [],
+        "shape_index": [],
+        "from_stop_id": [],
+        "to_stop_id": [],
+        "start_dist_km": [],
+        "length_km": [],
+        "xs": [],
+        "ys": [],
+    }
+    if xs.size < 2 or len(stop_ids) < 2:
+        return pd.DataFrame(out)
+    fit = K.fit_stops_to_path(sx, sy, xs, ys)
+    total = K.polyline_length_km(xs, ys)
+    # slice boundaries: shape start, interior snapped stops, shape end —
+    # first/last stop-to-stop slices are extended to the shape's endpoints
+    # (reference slices cover the whole shape, loaders/index.js:104-130)
+    bounds = np.concatenate([[0.0], fit["dist_along_km"][1:-1], [total]])
+    bounds = np.maximum.accumulate(bounds)  # monotone guard
+    for i in range(len(stop_ids) - 1):
+        lo, hi = float(bounds[i]), float(bounds[i + 1])
+        if hi - lo <= 0:
+            continue  # degenerate slice (two stops snapped to one point)
+        gx, gy = K.line_slice_along(xs, ys, lo, hi)
+        if gx.size < 2:
+            continue
+        out["shape_id"].append(row["shape_id"])
+        out["shape_index"].append(i)
+        out["from_stop_id"].append(stop_ids[i])
+        out["to_stop_id"].append(stop_ids[i + 1])
+        out["start_dist_km"].append(lo)
+        out["length_km"].append(hi - lo)
+        out["xs"].append(K.round6(gx))
+        out["ys"].append(K.round6(gy))
+    return pd.DataFrame(out)
+
+
+def snap_and_slice(shapes_with_stops: DataFrame) -> DataFrame:
+    """shapes_with_stops: one row per shape with columns
+    (shape_id, xs, ys, stop_ids, stop_lons, stop_lats) — stop arrays ordered
+    by the shape's authoritative stop sequence.
+    Returns net.shape_segments."""
+    return (
+        shapes_with_stops.groupBy("shape_id")
+        .applyInPandas(_fit_and_slice, SEGMENTS_SCHEMA)
+        .withColumn("shape_index", F.col("shape_index").cast("int"))
+    )
+
+
+def shapes_with_stop_sequences(
+    geo_shapes: DataFrame,
+    geo_stops: DataFrame,
+    trips: DataFrame,
+    stop_times: DataFrame,
+) -> DataFrame:
+    """Assemble per-shape stop arrays from the relational side.
+
+    Reference semantics (GeoJsonGtfsDAO/generators.js:102-227): the stop
+    sequence of a shape is derived from trips ⋈ stop_times; each shape must
+    have a single authoritative ordered stop sequence (distinct sequences per
+    shape collapse; the reference throws if they disagree — we keep the
+    lexicographically first, a deterministic tie-break).
+
+    trips/stop_times are fact tables; geo_stops is dimension-sized per feed
+    and is broadcast.
+    """
+    seq_per_trip = (
+        stop_times.join(trips.select("trip_id", "shape_id"), "trip_id")
+        .groupBy("shape_id", "trip_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("stop_sequence", "stop_id"))
+            ).alias("seq")
+        )
+        .select(
+            "shape_id", F.transform("seq", lambda s: s["stop_id"]).alias("stop_ids")
+        )
+    )
+    # one authoritative sequence per shape (deterministic min)
+    seq_per_shape = seq_per_trip.groupBy("shape_id").agg(
+        F.min("stop_ids").alias("stop_ids")
+    )
+    stops_dim = F.broadcast(
+        geo_stops.select("stop_id", "stop_lon", "stop_lat")
+    )
+    with_coords = (
+        seq_per_shape.select(
+            "shape_id", F.posexplode("stop_ids").alias("pos", "stop_id")
+        )
+        .join(stops_dim, "stop_id")
+        .groupBy("shape_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "stop_id", "stop_lon", "stop_lat"))
+            ).alias("s")
+        )
+        .select(
+            "shape_id",
+            F.transform("s", lambda r: r["stop_id"]).alias("stop_ids"),
+            F.transform("s", lambda r: r["stop_lon"]).alias("stop_lons"),
+            F.transform("s", lambda r: r["stop_lat"]).alias("stop_lats"),
+        )
+    )
+    return geo_shapes.select("shape_id", "xs", "ys").join(with_coords, "shape_id")

@@ -1,0 +1,206 @@
+"""The flagship conflation spatial join — stage 4 + 7 analog.
+
+Reference semantics being re-expressed (SURVEY.md §2.4, §3.2): the reference
+shells out to `shst match` per 25-feature batch and then post-processes
+(dedupe, redundant-match removal, per-segment choice, along-index ranking).
+Our engine replaces the external matcher with an explicit two-phase
+filter-refine spatial join — the same shape the reference itself uses for its
+map join (equi-join on a cheap key first, expensive geometry test second,
+GtfsConflationMapJoinDAO/loaders.js:139-155 → 195-274):
+
+  1. CANDIDATES — both sides explode to Morton cover cells; equi-join on
+     cell. The GTFS side dilates by a k-ring (the retry-ladder analog,
+     shstMatchFeatures.js:283-362). This is a plain Spark shuffle join on a
+     LongType key: Catalyst/AQE handle partitioning, coalescing and skew
+     (urban-core hot cells) natively; an explicit salt is unnecessary because
+     AQE skew-join splits oversized cell partitions at runtime.
+  2. REFINE — per candidate pair, the Arrow-batched corridor kernel
+     (kernels.corridor_match) computes the along-line overlap interval and
+     deviation stats; pairs outside the corridor radius die here (the
+     distractor/offset cases of the fixture).
+  3. CHOOSE — per GTFS segment, a deterministic greedy interval cover ranked
+     by (deviation, coverage): the observable semantics of the reference's
+     path-choice fixpoint (chooseOptimalShstMatches) at fixture complexity,
+     with fully specified tie-breaks (sort by score then shst_reference) so
+     engine == oracle bit-for-bit.
+  4. ALONG-INDEX — RANK() over (shape_id, shape_index) ordered by
+     section_start: the reference's topological ordering of chosen segments
+     (GtfsConflationMapJoinDAO/loaders.js:357-366).
+
+Scale: the only shuffles are (a) the cell equi-join and (b) the per-segment
+groupBy in CHOOSE. Candidate pairs are deduped BEFORE geometry is attached,
+so the wide arrays cross the wire once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .. import kernels as K
+from ..functions.udfs import make_cover_cells_udf
+
+CELL_DEG = 0.01  # ~1.1 km cells; segments are ~0.5 km
+CORRIDOR_KM = 0.03  # 30 m refine radius (stop jitter <=20 m, perturb 3 m)
+MIN_COVER_RATIO = 0.10  # MATCHES_LENGTH_RATIO_THOLD (shstMatchFeatures.js:47)
+OVERLAP_TOL = 0.20  # greedy cover: max fraction of a candidate already covered
+
+REFINE_SCHEMA = T.StructType(
+    [
+        T.StructField("shape_id", T.StringType()),
+        T.StructField("shape_index", T.IntegerType()),
+        T.StructField("segment_id", T.LongType()),
+        T.StructField("shst_reference", T.StringType()),
+        T.StructField("networklevel", T.IntegerType()),
+        T.StructField("section_start", T.DoubleType()),
+        T.StructField("section_end", T.DoubleType()),
+        T.StructField("osm_start", T.DoubleType()),
+        T.StructField("osm_end", T.DoubleType()),
+        T.StructField("intxn_len_km", T.DoubleType()),
+        T.StructField("mean_dev_km", T.DoubleType()),
+        T.StructField("max_dev_km", T.DoubleType()),
+    ]
+)
+
+
+def candidate_pairs(
+    segments: DataFrame, osm: DataFrame, cell_deg: float = CELL_DEG, ring: int = 1
+) -> DataFrame:
+    """Phase 1: cell-bucketed candidate generation.
+
+    segments: net.shape_segments (shape_id, shape_index, xs, ys, ...)
+    osm:      osm.segments (segment_id, shst_reference, networklevel, xs, ys)
+    Returns distinct (shape_id, shape_index, segment_id) pairs with both
+    geometries attached (arrays joined back post-dedupe).
+    """
+    g_cover = make_cover_cells_udf(cell_deg, ring=ring)
+    o_cover = make_cover_cells_udf(cell_deg, ring=0)
+
+    g_cells = segments.select(
+        "shape_id",
+        "shape_index",
+        F.explode(g_cover("xs", "ys")).alias("cell"),
+    )
+    o_cells = osm.select(
+        "segment_id", F.explode(o_cover("xs", "ys")).alias("cell")
+    )
+    pairs = (
+        g_cells.join(o_cells, "cell")
+        .select("shape_id", "shape_index", "segment_id")
+        .distinct()
+    )
+    g_geom = segments.select(
+        "shape_id",
+        "shape_index",
+        F.col("xs").alias("g_xs"),
+        F.col("ys").alias("g_ys"),
+        F.col("length_km").alias("g_len_km"),
+    )
+    o_geom = osm.select(
+        "segment_id",
+        "shst_reference",
+        "networklevel",
+        F.col("xs").alias("o_xs"),
+        F.col("ys").alias("o_ys"),
+    )
+    return pairs.join(g_geom, ["shape_id", "shape_index"]).join(o_geom, "segment_id")
+
+
+def refine(pairs: DataFrame, corridor_km: float = CORRIDOR_KM) -> DataFrame:
+    """Phase 2: Arrow-batched corridor refine. Emits one row per surviving
+    pair with the overlap interval on both lines + deviation stats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in REFINE_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                m = K.corridor_match(
+                    np.asarray(r.g_xs),
+                    np.asarray(r.g_ys),
+                    np.asarray(r.o_xs),
+                    np.asarray(r.o_ys),
+                    radius_km=corridor_km,
+                )
+                if m is None:
+                    continue
+                rows["shape_id"].append(r.shape_id)
+                rows["shape_index"].append(r.shape_index)
+                rows["segment_id"].append(r.segment_id)
+                rows["shst_reference"].append(r.shst_reference)
+                rows["networklevel"].append(r.networklevel)
+                rows["section_start"].append(m["a_start_km"])
+                rows["section_end"].append(m["a_end_km"])
+                rows["osm_start"].append(m["b_start_km"])
+                rows["osm_end"].append(m["b_end_km"])
+                rows["intxn_len_km"].append(m["intxn_len_km"])
+                rows["mean_dev_km"].append(m["mean_dev_km"])
+                rows["max_dev_km"].append(m["max_dev_km"])
+            yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(kernel, REFINE_SCHEMA)
+
+
+def choose_matches(refined: DataFrame) -> DataFrame:
+    """Phase 3+4: deterministic greedy interval cover per GTFS segment,
+    then the along-index RANK (loaders.js:357-366).
+
+    Greedy order: longer overlap first, then lower deviation, then
+    shst_reference/segment_id as total tie-breaks. A candidate is kept iff
+    <= OVERLAP_TOL of its interval is already covered. Candidates covering
+    < MIN_COVER_RATIO of the GTFS segment are dropped up front (the
+    unmatched-length predicate, shstMatchFeatures.js:259-276).
+    """
+
+    def cover(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["intxn_len_km", "mean_dev_km", "shst_reference", "segment_id"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        )
+        chosen = []
+        intervals: list[tuple[float, float]] = []
+        for r in pdf.itertuples(index=False):
+            a, b = r.section_start, r.section_end
+            ov = 0.0
+            for lo, hi in intervals:
+                ov += max(0.0, min(b, hi) - max(a, lo))
+            if (b - a) > 0 and ov / (b - a) <= OVERLAP_TOL:
+                chosen.append(r)
+                intervals.append((a, b))
+        return pd.DataFrame(chosen, columns=pdf.columns)
+
+    filtered = refined.filter(
+        F.col("intxn_len_km") / F.col("g_len_km") >= MIN_COVER_RATIO
+    )
+    chosen = filtered.groupBy("shape_id", "shape_index").applyInPandas(
+        cover, filtered.schema
+    )
+    w = Window.partitionBy("shape_id", "shape_index").orderBy(
+        "section_start", "section_end", "shst_reference"
+    )
+    return chosen.withColumn("along_idx", F.rank().over(w))
+
+
+def conflation_join(
+    segments: DataFrame,
+    osm: DataFrame,
+    cell_deg: float = CELL_DEG,
+    ring: int = 1,
+    corridor_km: float = CORRIDOR_KM,
+) -> DataFrame:
+    """Full filter-refine-choose chain. Returns the flagship match table:
+    (shape_id, shape_index, segment_id, shst_reference, networklevel,
+    section_start, section_end, osm_start, osm_end, intxn_len_km,
+    mean_dev_km, max_dev_km, along_idx)."""
+    pairs = candidate_pairs(segments, osm, cell_deg=cell_deg, ring=ring)
+    refined = refine(pairs, corridor_km=corridor_km)
+    g_len = segments.select(
+        "shape_id", "shape_index", F.col("length_km").alias("g_len_km")
+    )
+    return choose_matches(refined.join(g_len, ["shape_id", "shape_index"]))

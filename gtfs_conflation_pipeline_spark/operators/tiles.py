@@ -1,0 +1,51 @@
+"""Raster-tile <-> vector-segment assignment (stage 9 tiling analog).
+
+The reference dumps the conflation map to ND-GeoJSON and lets tippecanoe cut
+mbtiles, filtering features into zoom ranges by OSM network level
+(tasks/conflation_map_into_mapbox/bin/createMBTilesNDGeoJSON FILTER block).
+The tile ASSIGNMENT — which (zoom, x, y) tiles each matched segment lands
+in — is the part with query semantics, reproduced here as a DataFrame op:
+
+  matched segments ⋈ osm geometry -> zoom = f(networklevel)
+                                  -> explode(web-mercator tiles of polyline)
+
+Output: one row per (segment_id, tile_id, zoom) — the second half of the
+BASELINE flagship metric (join rows + tile assignments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import make_tiles_udf
+
+
+def assign_tiles(matches: DataFrame, osm: DataFrame) -> DataFrame:
+    """matches: chosen conflation matches (must carry segment_id,
+    networklevel). osm: osm.segments with (segment_id, xs, ys).
+    Returns (segment_id, zoom, tile_id) distinct."""
+    tiles_of = make_tiles_udf()
+    matched_segments = matches.select("segment_id", "networklevel").distinct()
+    # zoom rules by network level (kernels.zoom_for_networklevel, as a
+    # JVM-side expression so only the tile cover needs Python)
+    nl = F.col("networklevel")
+    zoom = (
+        F.when(nl <= 1, 7)
+        .when(nl == 2, 9)
+        .when(nl == 3, 11)
+        .when(nl == 4, 12)
+        .otherwise(13)
+        .cast("int")
+    )
+    geom = osm.select("segment_id", "xs", "ys")
+    return (
+        matched_segments.join(geom, "segment_id")
+        .withColumn("zoom", zoom)
+        .select(
+            "segment_id",
+            "zoom",
+            F.explode(tiles_of("xs", "ys", "zoom")).alias("tile_id"),
+        )
+        .distinct()
+    )

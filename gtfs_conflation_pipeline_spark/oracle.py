@@ -1,0 +1,124 @@
+"""Single-process numpy oracle for end-to-end conflation equivalence
+(SURVEY.md §5.3, FIXTURES.md §4).
+
+Implements the same semantics as the Spark pipeline — snap -> slice ->
+candidate -> corridor refine -> greedy choose -> along rank -> tile assign —
+as straight-line numpy over the closed-form fixture, with NO Spark, no cells
+and no partitioning: candidates are brute-force all-pairs, so any
+candidate-generation miss in the engine's cell bucketing shows up as a
+missing match row in the equality test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import fixtures as FX
+from . import kernels as K
+from .operators.spatial_join import (
+    CORRIDOR_KM,
+    MIN_COVER_RATIO,
+    OVERLAP_TOL,
+)
+
+
+def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
+    """Returns {'matches': df, 'tiles': df} — the expected flagship outputs."""
+    n_shapes = FX.n_shapes_for(n_images)
+    i = np.arange(n_shapes * FX.PTS_PER_SHAPE)
+    _, _, lon, lat = FX.shape_point(i)
+
+    # osm side (all segments, brute force)
+    n_chunks = FX.PTS_PER_SHAPE // FX.CHUNK
+    osm = FX.osm_segment_batch(np.arange(n_shapes * n_chunks))
+
+    match_rows = []
+    for s in range(n_shapes):
+        xs = lon[s * FX.PTS_PER_SHAPE : (s + 1) * FX.PTS_PER_SHAPE]
+        ys = lat[s * FX.PTS_PER_SHAPE : (s + 1) * FX.PTS_PER_SHAPE]
+        # stops of this shape, ordered
+        seqs = np.arange(0, FX.PTS_PER_SHAPE, FX.STOP_EVERY)
+        dlon, dlat = FX.stop_jitter(np.full(seqs.size, s), seqs)
+        sx = xs[seqs] + dlon  # no rounding — bit-exact contract with Spark
+        sy = ys[seqs] + dlat
+
+        stop_ids = [f"stop_{s:05d}_{q}" for q in seqs]
+
+        fit = K.fit_stops_to_path(sx, sy, xs, ys)
+        total = K.polyline_length_km(xs, ys)
+        bounds = np.concatenate([[0.0], fit["dist_along_km"][1:-1], [total]])
+        bounds = np.maximum.accumulate(bounds)
+
+        for gi in range(len(stop_ids) - 1):
+            lo, hi = float(bounds[gi]), float(bounds[gi + 1])
+            if hi - lo <= 0:
+                continue
+            gx, gy = K.line_slice_along(xs, ys, lo, hi)
+            if gx.size < 2:
+                continue
+            gx, gy = K.round6(gx), K.round6(gy)
+            g_len = hi - lo
+            cands = []
+            for o in osm.itertuples(index=False):
+                m = K.corridor_match(gx, gy, np.asarray(o.xs), np.asarray(o.ys), radius_km=CORRIDOR_KM)
+                if m is None:
+                    continue
+                if m["intxn_len_km"] / g_len < MIN_COVER_RATIO:
+                    continue
+                cands.append(
+                    {
+                        "shape_id": f"shp_{s:05d}",
+                        "shape_index": gi,
+                        "segment_id": o.segment_id,
+                        "shst_reference": o.shst_reference,
+                        "networklevel": o.networklevel,
+                        "section_start": m["a_start_km"],
+                        "section_end": m["a_end_km"],
+                        "osm_start": m["b_start_km"],
+                        "osm_end": m["b_end_km"],
+                        "intxn_len_km": m["intxn_len_km"],
+                        "mean_dev_km": m["mean_dev_km"],
+                        "max_dev_km": m["max_dev_km"],
+                    }
+                )
+            # greedy interval cover, same total order as the engine
+            cands.sort(
+                key=lambda c: (
+                    -c["intxn_len_km"],
+                    c["mean_dev_km"],
+                    c["shst_reference"],
+                    c["segment_id"],
+                )
+            )
+            intervals: list[tuple[float, float]] = []
+            for c in cands:
+                a, b = c["section_start"], c["section_end"]
+                ov = sum(max(0.0, min(b, hi2) - max(a, lo2)) for lo2, hi2 in intervals)
+                if (b - a) > 0 and ov / (b - a) <= OVERLAP_TOL:
+                    match_rows.append(c)
+                    intervals.append((a, b))
+
+    matches = pd.DataFrame(match_rows)
+    if len(matches):
+        matches = matches.sort_values(
+            ["shape_id", "shape_index", "section_start", "section_end", "shst_reference"]
+        )
+        matches["along_idx"] = (
+            matches.groupby(["shape_id", "shape_index"]).cumcount() + 1
+        )
+
+    # tiles per matched osm segment
+    tile_rows = []
+    if len(matches):
+        seg_ids = sorted(set(matches["segment_id"]))
+        osm_by_id = {o.segment_id: o for o in osm.itertuples(index=False)}
+        for sid in seg_ids:
+            o = osm_by_id[sid]
+            zoom = int(K.zoom_for_networklevel(np.array([o.networklevel]))[0])
+            for t in K.tiles_for_polyline(np.asarray(o.xs), np.asarray(o.ys), zoom):
+                tile_rows.append(
+                    {"segment_id": sid, "zoom": zoom, "tile_id": int(t)}
+                )
+    tiles = pd.DataFrame(tile_rows).drop_duplicates()
+    return {"matches": matches.reset_index(drop=True), "tiles": tiles.reset_index(drop=True)}

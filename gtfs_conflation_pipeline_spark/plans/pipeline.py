@@ -1,0 +1,119 @@
+"""End-to-end conflation pipeline — the reference's 9 CLI stages re-planned
+as checkpointed DataFrame transformations (SURVEY.md §1.4 stage table).
+
+Stage graph (each checkpointed with a per-partition lineage manifest):
+
+  images          the input_hint table (generated fixture; on a real cluster
+                  this is the pre-existing Iceberg table)
+  osm_segments    the OSM/conflation-map side (stage 6 analog)
+  geo_shapes      stage 2: shape points -> polylines (groupBy + collect_list)
+  geo_stops       stage 2: stops as typed points
+  net_segments    stage 3: stop-snapped stop-to-stop slices (grouped DP kernel)
+  matches         stage 4+7: the flagship cell-bucketed conflation join
+  tiles           stage 9: raster-tile assignment per matched segment
+
+Every stage is resumable: `CheckpointManager.run_stage` skips any stage whose
+manifest is complete, so a killed run resumes from the last durable stage
+(reference analog: each CLI stage re-runnable from its SQLite files, run:41-49).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures as FX
+from ..checkpoint import CheckpointManager
+from ..functions import udfs as U
+from ..operators import snap, spatial_join, tiles
+
+
+def geo_shapes_from_raw(raw_shapes: DataFrame) -> DataFrame:
+    """Stage 2 analog: assemble shape polylines from shape points.
+
+    The ONE unavoidable big shuffle at 10^12 scale (points -> polylines);
+    keys are uniform (fixed points per shape) so no salting is needed, and
+    AQE sizes the post-shuffle partitions. Everything else is JVM-side
+    higher-order array ops; only length/geoprox run as Arrow kernels.
+    """
+    return (
+        raw_shapes.groupBy("shape_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("shape_pt_sequence", "shape_pt_lon", "shape_pt_lat")
+                )
+            ).alias("pts")
+        )
+        .select(
+            "shape_id",
+            F.transform("pts", lambda p: p["shape_pt_lon"]).alias("xs"),
+            F.transform("pts", lambda p: p["shape_pt_lat"]).alias("ys"),
+        )
+        .withColumn("length_km", U.length_km("xs", "ys"))
+        .withColumn("cell", U.cell_of(F.element_at("xs", 1), F.element_at("ys", 1), F.lit(spatial_join.CELL_DEG)))
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    n_images: int,
+    ckpt_dir: str,
+    partitions: int | None = None,
+    verbose: bool = False,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns every stage's DataFrame."""
+    ckpt = CheckpointManager(ckpt_dir, verbose=verbose)
+    out: dict[str, DataFrame] = {}
+
+    out["images"] = ckpt.run_stage(
+        spark,
+        "images",
+        lambda: FX.images_table(spark, n_images, partitions=partitions),
+    )
+    out["osm_segments"] = ckpt.run_stage(
+        spark,
+        "osm_segments",
+        lambda: FX.osm_segments_table(spark, n_images, partitions=partitions),
+    )
+    raw = FX.raw_tables(spark, out["images"])
+
+    out["geo_shapes"] = ckpt.run_stage(
+        spark,
+        "geo_shapes",
+        lambda: geo_shapes_from_raw(raw["shapes"]),
+        cell_col="cell",
+    )
+    out["geo_stops"] = ckpt.run_stage(spark, "geo_stops", lambda: raw["stops"])
+
+    def _net() -> DataFrame:
+        sws = snap.shapes_with_stop_sequences(
+            out["geo_shapes"], out["geo_stops"], raw["trips"], raw["stop_times"]
+        )
+        return snap.snap_and_slice(sws)
+
+    out["net_segments"] = ckpt.run_stage(spark, "net_segments", _net)
+
+    def _matches() -> DataFrame:
+        return spatial_join.conflation_join(
+            out["net_segments"], out["osm_segments"]
+        )
+
+    out["matches"] = ckpt.run_stage(
+        spark,
+        "matches",
+        _matches,
+        metrics_fn=lambda df: {
+            "matched_segments": df.select("shape_id", "shape_index")
+            .distinct()
+            .count()
+        },
+    )
+
+    out["tiles"] = ckpt.run_stage(
+        spark,
+        "tiles",
+        lambda: tiles.assign_tiles(out["matches"], out["osm_segments"]),
+        cell_col="tile_id",
+    )
+    return out

@@ -1,0 +1,128 @@
+"""End-to-end conflation equivalence vs the single-process numpy oracle
+(SURVEY.md §5.3): exact join-output rows, exact tile assignments, and the
+checkpoint/resume + payload invariants."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gtfs_conflation_pipeline_spark import fixtures as FX
+from gtfs_conflation_pipeline_spark.oracle import oracle_conflation
+from gtfs_conflation_pipeline_spark.plans.pipeline import run_pipeline
+
+N_IMAGES = 1500  # 30 shapes — small enough for the brute-force oracle
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt"))
+    out = run_pipeline(spark, N_IMAGES, d, partitions=8)
+    return d, out
+
+
+@pytest.fixture(scope="module")
+def oracle_out():
+    return oracle_conflation(N_IMAGES)
+
+
+MATCH_KEY = ["shape_id", "shape_index", "shst_reference"]
+
+
+def test_match_rows_equal_oracle(pipeline_out, oracle_out):
+    _, out = pipeline_out
+    eng = (
+        out["matches"]
+        .toPandas()
+        .sort_values(MATCH_KEY)
+        .reset_index(drop=True)
+    )
+    orc = oracle_out["matches"].sort_values(MATCH_KEY).reset_index(drop=True)
+    assert len(eng) == len(orc), f"row count {len(eng)} != oracle {len(orc)}"
+    for k in MATCH_KEY + ["segment_id", "along_idx"]:
+        assert (eng[k].values == orc[k].values).all(), f"mismatch col {k}"
+    for k in ["section_start", "section_end", "intxn_len_km", "mean_dev_km"]:
+        assert np.allclose(eng[k].values, orc[k].values, atol=1e-9), f"col {k}"
+
+
+def test_tiles_equal_oracle(pipeline_out, oracle_out):
+    _, out = pipeline_out
+    eng = (
+        out["tiles"]
+        .toPandas()
+        .sort_values(["segment_id", "zoom", "tile_id"])
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle_out["tiles"]
+        .sort_values(["segment_id", "zoom", "tile_id"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(orc)
+    for k in ["segment_id", "zoom", "tile_id"]:
+        assert (eng[k].values == orc[k].values).all(), f"mismatch col {k}"
+
+
+def test_dropped_chunks_unmatched(oracle_out, pipeline_out):
+    """Fixture mode (s+c)%10==0 drops the OSM chunk — those slots must not
+    produce full-coverage matches from the true segment, and distractor
+    (mode 2) segments must never be chosen."""
+    _, out = pipeline_out
+    eng = out["matches"].toPandas()
+    assert not eng["shst_reference"].str.startswith("shst_x").any()
+
+
+def test_resume_is_idempotent_and_skips_compute(spark, pipeline_out):
+    d, out = pipeline_out
+    before = out["matches"].toPandas().sort_values(MATCH_KEY).reset_index(drop=True)
+    # re-run: every stage's manifest is complete -> compute skipped, outputs equal
+    out2 = run_pipeline(spark, N_IMAGES, d, partitions=8)
+    after = out2["matches"].toPandas().sort_values(MATCH_KEY).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_resume_after_partial_failure(spark, tmp_path):
+    """Kill-after-stage-k resume (SURVEY.md §5.5): complete early stages,
+    then run the full pipeline — early manifests are reused (mtime unchanged),
+    and the final output matches the oracle-verified full run."""
+    d = str(tmp_path / "ckpt2")
+    small = 500
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(d)
+    FX_df = FX.images_table(spark, small, partitions=4)
+    ck.write(FX_df, "images")
+    mtime = os.path.getmtime(os.path.join(d, "images", "_manifest.json"))
+    out = run_pipeline(spark, small, d, partitions=4)
+    assert os.path.getmtime(os.path.join(d, "images", "_manifest.json")) == mtime
+    orc = oracle_conflation(small)
+    eng = out["matches"].toPandas().sort_values(MATCH_KEY).reset_index(drop=True)
+    assert len(eng) == len(orc["matches"])
+
+
+def test_manifest_lineage(pipeline_out):
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+
+    d, out = pipeline_out
+    ck = CheckpointManager(d)
+    m = ck.manifest("matches")
+    assert m["complete"]
+    assert m["rows_out"] == out["matches"].count()
+    assert m["metrics"]["matched_segments"] > 0
+    tm = ck.manifest("tiles")
+    assert sum(p["rows_out"] for p in tm["partitions"]) == tm["rows_out"]
+    assert any("cells_touched" in p for p in tm["partitions"])
+
+
+def test_payload_invariant_after_checkpoint(pipeline_out):
+    """input_hint per-row invariant: decoded pixels + caption equality after
+    checkpoint round-trip."""
+    _, out = pipeline_out
+    rows = out["images"].orderBy("image_id").limit(10).collect()
+    ref = FX.images_batch(np.arange(10))
+    for k, r in enumerate(rows):
+        pix = np.frombuffer(bytes(r.bytes), np.uint8).reshape(r.w, r.h, 3)
+        assert np.array_equal(pix, FX.image_pixels(k))
+        assert r.caption == ref["caption"][k]
