@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship conflation join + tile assignment on the
+                 deterministic synthetic fixture (sf0.001-scale).
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); each callable: (spark, sf_dir) -> DataFrame.
+oracle_sql()   — matching ANSI SQL for DuckDB on the pre-registered views.
+                 Entries absent here (conflation_matches, tile_assignments,
+                 minhash_lsh, simhash_pairs, phash_neardup, lsh_ann,
+                 image_decode_stats) are non-SQL-expressible (geometry
+                 kernels / LSH / binary payload decode) and take the
+                 rows-only check; the geometry ones are instead verified
+                 exactly against a pure-numpy oracle in
+                 tests/test_pipeline_e2e.py.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _prep(spark: SparkSession) -> None:
+    from gtfs_conflation_pipeline_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: shape->OSM conflation join rows at sf0.001 scale
+    (1000 images -> 20 shapes), checkpointed under /tmp."""
+    _prep(spark)
+    from gtfs_conflation_pipeline_spark.plans.pipeline import run_pipeline
+
+    out = run_pipeline(
+        spark, 1000, "/tmp/spark_graft_entry_ckpt", partitions=8
+    )
+    return out["matches"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gtfs_conflation_pipeline_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gtfs_conflation_pipeline_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Times (a) a headline subset of the relational/training-data queries at
+$SPARK_GRAFT_SF_DIR and (b) the flagship conflation join + tile assignment
+over the synthetic geo fixture, reporting rows/sec.
+
+Scaling evidence (BASELINE north rule, sandbox proxy): with
+SPARK_GRAFT_BENCH_SCALING=1, re-runs the flagship phase in fresh subprocesses
+at local[8] and local[32] on identical input and reports throughput at both
+plus efficiency = (T8 / T32) / 4. Results are recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "40000"))
+
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "range_join",
+    "window_rank",
+    "window_cumsum",
+    "epoch_dow_buckets",
+    "knn_1nn",
+    "tile_assign",
+    "ngram_jaccard",
+    "cosine_topk",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_flagship(spark, n_images: int, work_dir: str) -> dict:
+    """Setup stages (fixture gen, geo, net) are checkpointed and NOT part of
+    the timed region; the timed region is the conflation join + tiling —
+    the BASELINE flagship metric."""
+    from gtfs_conflation_pipeline_spark import fixtures as FX
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+    from gtfs_conflation_pipeline_spark.operators import snap, spatial_join, tiles
+    from gtfs_conflation_pipeline_spark.plans.pipeline import geo_shapes_from_raw
+
+    ckpt = CheckpointManager(work_dir)
+    images = ckpt.run_stage(
+        spark, "images", lambda: FX.images_table(spark, n_images, with_bytes=False)
+    )
+    osm = ckpt.run_stage(
+        spark, "osm_segments", lambda: FX.osm_segments_table(spark, n_images)
+    )
+    raw = FX.raw_tables(spark, images)
+    geo_shapes = ckpt.run_stage(
+        spark, "geo_shapes", lambda: geo_shapes_from_raw(raw["shapes"])
+    )
+    net = ckpt.run_stage(
+        spark,
+        "net_segments",
+        lambda: snap.snap_and_slice(
+            snap.shapes_with_stop_sequences(
+                geo_shapes, raw["stops"], raw["trips"], raw["stop_times"]
+            )
+        ),
+    )
+
+    t0 = time.time()
+    matches = spatial_join.conflation_join(net, osm)
+    n_matches = matches.count()
+    t_match = time.time() - t0
+
+    t1 = time.time()
+    tl = tiles.assign_tiles(matches, osm)
+    n_tiles = tl.count()
+    t_tiles = time.time() - t1
+
+    wall = t_match + t_tiles
+    return {
+        "n_images": n_images,
+        "n_net_segments": net.count(),
+        "n_matches": n_matches,
+        "n_tiles": n_tiles,
+        "sec_match": round(t_match, 2),
+        "sec_tiles": round(t_tiles, 2),
+        "sec_total": round(wall, 2),
+        "rows_per_sec": round(n_images / wall, 1),
+    }
+
+
+def flagship_subprocess(cores: int, n_images: int) -> dict:
+    """Fresh-JVM flagship run at a given parallelism (scaling evidence)."""
+    work = f"/tmp/spark_graft_bench_scale_c{cores}"
+    shutil.rmtree(work, ignore_errors=True)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_BENCH_IMAGES=str(n_images),
+        SPARK_GRAFT_BENCH_WORKDIR=work,
+    )
+    out = subprocess.run(
+        [sys.executable, __file__, "--flagship-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    from gtfs_conflation_pipeline_spark.session import get_spark
+
+    if "--flagship-only" in sys.argv:
+        spark = get_spark("bench_flagship", cores=CPUS)
+        work = os.environ.get(
+            "SPARK_GRAFT_BENCH_WORKDIR", f"/tmp/spark_graft_bench_c{CPUS}"
+        )
+        res = run_flagship(spark, N_IMAGES, work)
+        res["cores"] = CPUS
+        print(json.dumps(res))
+        spark.stop()
+        return
+
+    from gtfs_conflation_pipeline_spark.plans.queries import QUERIES
+
+    spark = get_spark("bench", cores=CPUS)
+    q_times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).count()
+        q_times[name] = round(time.time() - t0, 3)
+
+    work = "/tmp/spark_graft_bench_flagship"
+    shutil.rmtree(work, ignore_errors=True)
+    flag = run_flagship(spark, N_IMAGES, work)
+    q_times["flagship_conflation"] = flag["sec_total"]
+    spark.stop()
+
+    result = {
+        "metric": "conflation_join_tile_assign_throughput",
+        "value": flag["rows_per_sec"],
+        "unit": "rows/sec",
+        "queries": q_times,
+        "sf": sf_of(SF_DIR),
+        "flagship": flag,
+        "total_query_sec": round(sum(q_times.values()), 2),
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        lo = flagship_subprocess(8, N_IMAGES)
+        hi = flagship_subprocess(32, N_IMAGES)
+        eff = (lo["sec_total"] / hi["sec_total"]) / 4.0
+        result["scaling"] = {
+            "local8": lo,
+            "local32": hi,
+            "speedup": round(lo["sec_total"] / hi["sec_total"], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

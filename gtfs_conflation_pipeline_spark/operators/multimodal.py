@@ -1,0 +1,113 @@
+"""Multimodal (image/audio/video) column operators.
+
+Payloads are opaque `binary` columns with typed metadata beside them (the
+input_hint schema: bytes/w/h/fmt). The Spark-side plumbing — schemas,
+Arrow batch shapes, partitioning — is real and tested; the actual
+image-codec decode is STUBBED (no PIL/ffmpeg in this container): 'raw' format
+decodes for real (numpy frombuffer), any other format raises
+NotImplementedError at the decode site, clearly marked.
+
+All operators are mapInPandas over Arrow batches — bytes never pass through
+per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("min_px", T.IntegerType()),
+        T.StructField("max_px", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode one payload to an (w, h, 3) uint8 array.
+
+    'raw' = C-order uint8 buffer (real). Other codecs are stubbed:
+    the Spark plumbing around this call is complete; swap in a real codec
+    (PIL/turbojpeg) on a cluster that ships one.
+    """
+    if fmt == "raw":
+        return np.frombuffer(buf, dtype=np.uint8).reshape(w, h, 3)
+    raise NotImplementedError(
+        f"image codec '{fmt}' is stubbed in this environment (no image libs); "
+        "only fmt='raw' decodes"
+    )
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Per-image pixel stats via Arrow-batched decode — the canonical
+    decode -> feature-extract plumbing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [
+                decode_image(b, w, h, f)
+                for b, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": pdf["w"].astype("int32"),
+                    "h": pdf["h"].astype("int32"),
+                    "n_bytes": [len(b) for b in pdf["bytes"]],
+                    "mean_px": [float(p.mean()) for p in px],
+                    "min_px": [int(p.min()) for p in px],
+                    "max_px": [int(p.max()) for p in px],
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, DECODE_STATS_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of raw payloads (deterministic index-sample —
+    the frame-sample/resize plumbing; real resample kernels plug in here)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                px = decode_image(b, w, h, f)
+                ix = (np.arange(out_w) * w // out_w).astype(np.int64)
+                iy = (np.arange(out_h) * h // out_h).astype(np.int64)
+                out.append(px[np.ix_(ix, iy)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": np.full(len(pdf), out_w, dtype="int32"),
+                    "h": np.full(len(pdf), out_h, dtype="int32"),
+                    "bytes": out,
+                    "fmt": pdf["fmt"],
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, RESIZE_SCHEMA
+    )

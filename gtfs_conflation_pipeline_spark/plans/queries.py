@@ -1,0 +1,1046 @@
+"""Named query registry — the driver-contract surface (__spark_entry__.py).
+
+Every entry is one operator family from SURVEY.md §2 (or a training-data
+operator), implemented Spark-first, with a matching ANSI-SQL oracle that
+DuckDB runs on the same parquet. Column names/aliases are identical on both
+sides (the driver hash-compares by sorted column name).
+
+Float discipline: every floating aggregate is rounded (2-4 dp) so that
+engine-order-dependent last-ulp differences cannot flip the comparison;
+keys/counts are exact ints/strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup, similarity, text
+
+PI = 3.141592653589793
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.5 aggregations
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: grouped multi-aggregate with filter pushdown
+    (SURVEY §2.5 SUM/AVG families)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark, sf):
+    """TPC-H Q3 shape: dim-broadcast 3-way join + grouped revenue + top-k
+    with total tie-break (SURVEY §2.3 equi joins, §2.7 top-k)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf):
+    """TPC-H Q5 shape: 5-way join chain through the dims (join reordering +
+    broadcast left to Catalyst)."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_weighted_avg(spark, sf):
+    """Weighted average SUM(x*w)/SUM(w) per group — stage-8 semantics
+    (GtfsConflationScheduleJoinDAO/createTableFns.js:80-105)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                2,
+            ).alias("weighted_avg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+           AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_multi_grain_rollup(spark, sf):
+    """Three-grain rollup re-joined wide — the AADT breakdown shape
+    (createTableFns.js:121-201: by seg / by seg+peak re-joined into one row)."""
+    li = _t(spark, sf, "lineitem")
+    total = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty_total")
+    )
+    by_flag = (
+        li.groupBy("l_suppkey", "l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+        .groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.first("q"))
+        .select(
+            "l_suppkey",
+            F.coalesce("A", F.lit(0.0)).alias("qty_a"),
+            F.coalesce("N", F.lit(0.0)).alias("qty_n"),
+            F.coalesce("R", F.lit(0.0)).alias("qty_r"),
+        )
+    )
+    return total.join(by_flag, "l_suppkey").orderBy("l_suppkey")
+
+
+SQL_MULTI_GRAIN = """
+WITH total AS (
+  SELECT l_suppkey, round(sum(l_quantity), 2) AS qty_total
+  FROM lineitem GROUP BY l_suppkey
+), by_flag AS (
+  SELECT l_suppkey,
+         round(coalesce(sum(l_quantity) FILTER (l_returnflag='A'), 0), 2) AS qty_a,
+         round(coalesce(sum(l_quantity) FILTER (l_returnflag='N'), 0), 2) AS qty_n,
+         round(coalesce(sum(l_quantity) FILTER (l_returnflag='R'), 0), 2) AS qty_r
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT total.l_suppkey AS l_suppkey, qty_total, qty_a, qty_n, qty_r
+FROM total JOIN by_flag USING (l_suppkey) ORDER BY l_suppkey
+"""
+
+
+def q_group_concat(spark, sf):
+    """group_concat(DISTINCT ... ORDER BY) — the reference's JSON-array
+    gathering (GeoJsonGtfsDAO/generators.js:108-122) as typed arrays."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+            ).alias("partkeys")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_GROUP_CONCAT = """
+SELECT l_orderkey,
+       string_agg(l_partkey::VARCHAR, ',' ORDER BY l_linenumber, l_partkey) AS partkeys
+FROM lineitem WHERE l_orderkey <= 200
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins (outer / semi / anti / range / cross-scalar)
+# --------------------------------------------------------------------------
+
+
+def q_left_outer_counts(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+SQL_LEFT_OUTER = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q_semi_join(spark, sf):
+    """EXISTS semantics (INSERT OR IGNORE / dedupe-by-key analog)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark, sf):
+    """NOT EXISTS — the EXCEPT/left-anti family (SURVEY §2.3 semi/anti)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_range_join(spark, sf):
+    """Equi key + range predicate — the stage-8 range join shape
+    (loaders.js:186-195: shape_id equality + seg-index BETWEEN)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.select("l_orderkey", F.col("l_linenumber").alias("ln_a"), F.col("l_quantity").alias("qty_a"))
+    b = li.select("l_orderkey", F.col("l_linenumber").alias("ln_b"), F.col("l_quantity").alias("qty_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter((F.col("ln_a") < F.col("ln_b")) & (F.col("qty_a") <= F.col("qty_b")))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT a.l_orderkey AS l_orderkey, count(*) AS n_pairs
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber < b.l_linenumber
+ AND a.l_quantity <= b.l_quantity
+GROUP BY a.l_orderkey ORDER BY a.l_orderkey
+"""
+
+
+def q_cross_scalar_share(spark, sf):
+    """CROSS JOIN of a broadcast scalar (createTableFns.js:72 num-weeks CTE)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "n_name", F.round(F.col("rev") / F.col("total") * 100, 3).alias("rev_share_pct")
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_CROSS_SCALAR = """
+WITH rev AS (
+  SELECT n_name, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), total AS (SELECT sum(rev) AS total FROM rev)
+SELECT n_name, round(rev / total * 100, 3) AS rev_share_pct
+FROM rev CROSS JOIN total ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 window functions
+# --------------------------------------------------------------------------
+
+
+def q_window_rank(spark, sf):
+    """RANK over partition — the along_idx toposort
+    (GtfsConflationMapJoinDAO/loaders.js:357-366)."""
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("price_rank", F.rank().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", "price_rank")
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT p_brand, p_partkey, price_rank FROM (
+  SELECT p_brand, p_partkey,
+         rank() OVER (PARTITION BY p_brand
+                      ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+  FROM part) t
+WHERE price_rank <= 3
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
+def q_window_lag(spark, sf):
+    """LAG — prev-stop linkage semantics (snapGtfs...js:189-196)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.coalesce(
+                F.datediff(F.col("o_orderdate"), F.col("prev_date")), F.lit(-1)
+            ).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+       coalesce(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate), -1) AS days_since_prev
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_window_cumsum(spark, sf):
+    """Cumulative sum — start_dist_along prefix sums (snapGtfs...js:6-30)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 500)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_WINDOW_CUMSUM = """
+SELECT l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_top1_per_group(spark, sf):
+    """min-by/top-1 (snap min-deviation choice, snapGtfs...js:64-69) via
+    max_by with explicit tie-break."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("best_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_TOP1 = """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS best_bal FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) t
+WHERE rn = 1 ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops + §2.8 date/time scalar families
+# --------------------------------------------------------------------------
+
+
+def q_union_except_dates(spark, sf):
+    """UNION-distinct then EXCEPT — the service-calendar add/remove
+    exceptions (GtfsScheduledTrafficDAO/createTableFns.js:443-474)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    o_dates = o.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+    s_dates = li.select(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+    return (
+        o_dates.union(s_dates)
+        .distinct()
+        .exceptAll(
+            li.filter(F.col("l_returnflag") == "R")
+            .select(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+            .distinct()
+        )
+        .orderBy("d")
+    )
+
+
+SQL_UNION_EXCEPT = """
+SELECT d FROM (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders
+  UNION
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS d FROM lineitem
+  EXCEPT
+  SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS d
+  FROM lineitem WHERE l_returnflag = 'R'
+) ORDER BY d
+"""
+
+
+def q_date_series(spark, sf):
+    """Date-series generation (sequence+explode vs the reference's recursive
+    CTE, createTableFns.js:341-376) + left join daily counts."""
+    o = _t(spark, sf, "orders")
+    ext = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    days = ext.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    per_day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        days.join(per_day, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_DATE_SERIES = """
+WITH ext AS (SELECT min(o_orderdate)::DATE lo, max(o_orderdate)::DATE hi FROM orders),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM ext),
+per_day AS (SELECT o_orderdate::DATE AS day, count(*) AS n FROM orders GROUP BY 1)
+SELECT strftime(days.day, '%Y-%m-%d') AS day, coalesce(n, 0) AS n_orders
+FROM days LEFT JOIN per_day USING (day) ORDER BY day
+"""
+
+
+def q_epoch_dow_buckets(spark, sf):
+    """5-min epoch bucket (floor(sec/300), loaders.js:69) + day-of-week
+    extraction (strftime('%w')) over the events stream table."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.floor(F.unix_timestamp("ts") / 300).alias("epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .orderBy("dow", "epoch")
+    )
+
+
+SQL_EPOCH_DOW = """
+SELECT strftime(ts, '%w')::INT AS dow,
+       floor(epoch(ts) / 300)::BIGINT AS epoch,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY dow, epoch
+"""
+
+
+def q_week_index(spark, sf):
+    """julianday-diff/7 week bucketing (createTableFns.js:28-49)."""
+    o = _t(spark, sf, "orders")
+    lo = o.agg(F.to_date(F.min("o_orderdate")).alias("lo"))
+    return (
+        o.crossJoin(F.broadcast(lo))
+        .select(
+            F.floor(F.datediff(F.to_date("o_orderdate"), F.col("lo")) / 7).alias(
+                "week_idx"
+            )
+        )
+        .groupBy("week_idx")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("week_idx")
+    )
+
+
+SQL_WEEK_INDEX = """
+WITH lo AS (SELECT min(o_orderdate)::DATE AS lo FROM orders)
+SELECT floor(date_diff('day', lo, o_orderdate::DATE) / 7)::BIGINT AS week_idx,
+       count(*) AS n_orders
+FROM orders CROSS JOIN lo GROUP BY 1 ORDER BY week_idx
+"""
+
+
+def q_seconds_into_day(spark, sf):
+    """HH:MM:SS -> seconds-into-day arithmetic (TripTracker.js:13-17)."""
+    e = _t(spark, sf, "events")
+    sec = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).alias("sec_of_day")
+    return (
+        e.select("event_id", sec)
+        .filter(F.col("sec_of_day") % 7 == 0)
+        .orderBy("event_id")
+    )
+
+
+SQL_SECONDS = """
+SELECT event_id,
+       (hour(ts) * 3600 + minute(ts) * 60 + second(ts))::BIGINT AS sec_of_day
+FROM events
+WHERE (hour(ts) * 3600 + minute(ts) * 60 + second(ts)) % 7 = 0
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# geometry as SQL arithmetic (cell encode / haversine / kNN / tiles / PIP)
+# — synthetic coordinates derived from keys so DuckDB can verify the math
+# --------------------------------------------------------------------------
+
+_LON = "(-74.5 + (c_custkey % 900) * 1e-3)"
+_LAT = "(41.8 + ((c_custkey * 7) % 700) * 1e-3)"
+_SLON = "(-74.5 + (s_suppkey % 900) * 1e-3 + 5e-4)"
+_SLAT = "(41.8 + ((s_suppkey * 11) % 700) * 1e-3 + 5e-4)"
+
+
+def _hav_sql(lon1, lat1, lon2, lat2):
+    return (
+        f"2 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+    )
+
+
+def q_cell_encode(spark, sf):
+    """Grid-cell encoding as a pure column expression (the SQL-expressible
+    sibling of the Morton kernel; packed key ix*2^21+iy)."""
+    c = _t(spark, sf, "customer")
+    lon = F.lit(-74.5) + (F.col("c_custkey") % 900) * 1e-3
+    lat = F.lit(41.8) + ((F.col("c_custkey") * 7) % 700) * 1e-3
+    cell = (
+        F.floor((lon + 180.0) / 0.01) * (1 << 21) + F.floor((lat + 90.0) / 0.01)
+    ).cast("long")
+    return (
+        c.select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cell")
+    )
+
+
+SQL_CELL_ENCODE = f"""
+SELECT (floor(({_LON} + 180.0) / 0.01) * 2097152
+        + floor(({_LAT} + 90.0) / 0.01))::BIGINT AS cell,
+       count(*) AS n_points
+FROM customer GROUP BY 1 ORDER BY cell
+"""
+
+
+def q_haversine(spark, sf):
+    """Haversine distance (turf.distance spec) as portable SQL trig."""
+    spark.read.parquet(f"{sf}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(
+        f"""
+        SELECT c_custkey,
+               round({_hav_sql(_LON, _LAT, "(-74.0)", "(42.1)")}, 3) AS dist_km
+        FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+        """
+    )
+
+
+SQL_HAVERSINE = f"""
+SELECT c_custkey,
+       round({_hav_sql(_LON, _LAT, "(-74.0)", "(42.1)")}, 3) AS dist_km
+FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+"""
+
+
+def q_knn_1nn(spark, sf):
+    """1-NN snap (each customer point -> nearest supplier point), the kNN
+    half of the north rule, as a k-broadcast join + row_number top-1."""
+    for t in ("customer", "supplier"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, s_suppkey, round(d, 3) AS nn_dist_km FROM (
+          SELECT c_custkey, s_suppkey,
+                 {_hav_sql(_LON, _LAT, _SLON, _SLAT)} AS d,
+                 row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY {_hav_sql(_LON, _LAT, _SLON, _SLAT)},
+                                             s_suppkey) AS rn
+          FROM customer CROSS JOIN supplier
+          WHERE c_custkey <= 200) t
+        WHERE rn = 1 ORDER BY c_custkey
+        """
+    )
+
+
+SQL_KNN = f"""
+SELECT c_custkey, s_suppkey, round(d, 3) AS nn_dist_km FROM (
+  SELECT c_custkey, s_suppkey,
+         {_hav_sql(_LON, _LAT, _SLON, _SLAT)} AS d,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY {_hav_sql(_LON, _LAT, _SLON, _SLAT)},
+                                     s_suppkey) AS rn
+  FROM customer CROSS JOIN supplier
+  WHERE c_custkey <= 200) t
+WHERE rn = 1 ORDER BY c_custkey
+"""
+
+
+def q_tile_assign(spark, sf):
+    """Web-mercator tile assignment at z12 as portable SQL (the raster-tile
+    half of the flagship metric; slippy-map math)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT xt, yt, count(*) AS n FROM (
+          SELECT floor(({_LON} + 180.0) / 360.0 * 4096)::BIGINT AS xt,
+                 floor((1.0 - ln(tan(radians({_LAT}))
+                       + 1.0 / cos(radians({_LAT}))) / {PI}) / 2.0 * 4096)::BIGINT AS yt
+          FROM customer) t
+        GROUP BY xt, yt ORDER BY xt, yt
+        """
+    )
+
+
+SQL_TILE = f"""
+SELECT xt, yt, count(*) AS n FROM (
+  SELECT floor(({_LON} + 180.0) / 360.0 * 4096)::BIGINT AS xt,
+         floor((1.0 - ln(tan(radians({_LAT}))
+               + 1.0 / cos(radians({_LAT}))) / {PI}) / 2.0 * 4096)::BIGINT AS yt
+  FROM customer) t
+GROUP BY xt, yt ORDER BY xt, yt
+"""
+
+
+def q_pip_bbox(spark, sf):
+    """Bounding-box point-in-polygon count per nation (geopoly_overlap
+    coarse filter analog, ConflationMapDAO/generators.js:24-40)."""
+    c = _t(spark, sf, "customer")
+    lon = F.lit(-74.5) + (F.col("c_custkey") % 900) * 1e-3
+    lat = F.lit(41.8) + ((F.col("c_custkey") * 7) % 700) * 1e-3
+    return (
+        c.filter(lon.between(-74.3, -74.0) & lat.between(42.0, 42.3))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_PIP = f"""
+SELECT c_nationkey, count(*) AS n_inside
+FROM customer
+WHERE {_LON} BETWEEN -74.3 AND -74.0 AND {_LAT} BETWEEN 42.0 AND 42.3
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data operators: dedup / text / embeddings
+# --------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.unionByName(dup)
+
+
+_DOCS_DUP_SQL = """
+(SELECT * FROM documents
+ UNION ALL
+ SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+ FROM documents WHERE doc_id < 50)
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup via content-hash groupBy (hash-groupBy family)."""
+    return (
+        dedup.exact_duplicates(_docs_with_dups(spark, sf), "doc_id", "text")
+        .orderBy("content_hash")
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(text) AS content_hash, count(*) AS n_dups,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR) AS doc_ids
+FROM {_DOCS_DUP_SQL} d
+GROUP BY md5(text) HAVING count(*) > 1
+ORDER BY content_hash
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf), "doc_id", "text", n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH docs AS (SELECT * FROM {_DOCS_DUP_SQL} d),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, sh FROM (
+    SELECT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t,
+         unnest(generate_series(1, greatest(len(w) - 2, 1))) AS g(i)
+    WHERE i + 2 <= len(w)) s
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_text_stats(spark, sf):
+    """Token counting + vocabulary/stopword quality features."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.round(text.distinct_ratio(F.col("text")), 4).alias("distinct_ratio"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+_SW = "('the','a','of','and','to','in','is','for','on','it')"
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')), 4) AS distinct_ratio,
+       round(len(list_filter(string_split(text, ' '), w -> w IN {_SW}))
+             / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf):
+    """Stopword-evidence language ID vs the labeled lang column."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", text.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+SQL_LANG_ID = f"""
+SELECT lang,
+       CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN {_SW})) >= 3
+            THEN 'en' ELSE 'other' END AS pred,
+       count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY lang, pred
+"""
+
+
+def q_fingerprint(spark, sf):
+    """Position-weighted rolling document fingerprint (md5-48 word hashes)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return text.fingerprint(d, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       sum((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) * pos)
+           AS fingerprint
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 100) t
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_cosine_topk(spark, sf):
+    """Brute-force cosine top-3 neighbors for the first 20 vectors."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(q, emb, k=3).orderBy("qid", "rank")
+
+
+SQL_COSINE_TOPK = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 20),
+pairs AS (
+  SELECT qid, vec_id,
+         list_sum(list_transform(list_zip(qe, e),
+                  z -> z[1] * z[2])) /
+         (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+          sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+  FROM q CROSS JOIN emb WHERE vec_id != qid
+)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, round(cos, 4) AS cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cos, 4) DESC, vec_id) AS rank
+  FROM pairs) t
+WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible entries (rows-only driver check): the geo pipeline +
+# MinHash/SimHash/LSH/multimodal operators
+# --------------------------------------------------------------------------
+
+_PIPE_CACHE_DIR = "/tmp/spark_graft_pipe_cache"
+
+
+def _pipeline(spark, n_images=1000):
+    from .pipeline import run_pipeline
+
+    return run_pipeline(
+        spark, n_images, f"{_PIPE_CACHE_DIR}/n{n_images}", partitions=8
+    )
+
+
+def q_conflation_matches(spark, sf):
+    """Flagship: shape->OSM conflation join rows (oracle-verified in pytest
+    vs the pure-numpy oracle; rows-only here)."""
+    return _pipeline(spark)["matches"]
+
+
+def q_tile_assignments(spark, sf):
+    return _pipeline(spark)["tiles"]
+
+
+def q_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf):
+    return dedup.simhash_near_pairs(
+        _docs_with_dups(spark, sf), "doc_id", "text", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
+def q_phash_neardup(spark, sf):
+    from .. import fixtures as FX
+
+    img = FX.images_table(spark, 2000, partitions=8, with_bytes=False)
+    return dedup.phash_near_dups(img, max_hamming=4)
+
+
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_ann_topk(q, emb, dim=64, k=3).orderBy("qid", "rank")
+
+
+def q_image_decode_stats(spark, sf):
+    from ..operators import multimodal
+    from .. import fixtures as FX
+
+    img = FX.images_table(spark, 500, partitions=8)
+    return multimodal.decode_stats(img).orderBy("image_id")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "weighted_avg": q_weighted_avg,
+    "multi_grain_rollup": q_multi_grain_rollup,
+    "group_concat": q_group_concat,
+    "left_outer_counts": q_left_outer_counts,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "range_join": q_range_join,
+    "cross_scalar_share": q_cross_scalar_share,
+    "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
+    "window_cumsum": q_window_cumsum,
+    "top1_per_group": q_top1_per_group,
+    "union_except_dates": q_union_except_dates,
+    "date_series": q_date_series,
+    "epoch_dow_buckets": q_epoch_dow_buckets,
+    "week_index": q_week_index,
+    "seconds_into_day": q_seconds_into_day,
+    "cell_encode": q_cell_encode,
+    "haversine": q_haversine,
+    "knn_1nn": q_knn_1nn,
+    "tile_assign": q_tile_assign,
+    "pip_bbox": q_pip_bbox,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    # rows-only (non-SQL-expressible: geometry kernels / LSH / multimodal)
+    "conflation_matches": q_conflation_matches,
+    "tile_assignments": q_tile_assignments,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "phash_neardup": q_phash_neardup,
+    "lsh_ann": q_lsh_ann,
+    "image_decode_stats": q_image_decode_stats,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "top_orders": SQL_TOP_ORDERS,
+    "region_revenue": SQL_REGION_REVENUE,
+    "weighted_avg": SQL_WEIGHTED_AVG,
+    "multi_grain_rollup": SQL_MULTI_GRAIN,
+    "group_concat": SQL_GROUP_CONCAT,
+    "left_outer_counts": SQL_LEFT_OUTER,
+    "semi_join": SQL_SEMI,
+    "anti_join": SQL_ANTI,
+    "range_join": SQL_RANGE_JOIN,
+    "cross_scalar_share": SQL_CROSS_SCALAR,
+    "window_rank": SQL_WINDOW_RANK,
+    "window_lag": SQL_WINDOW_LAG,
+    "window_cumsum": SQL_WINDOW_CUMSUM,
+    "top1_per_group": SQL_TOP1,
+    "union_except_dates": SQL_UNION_EXCEPT,
+    "date_series": SQL_DATE_SERIES,
+    "epoch_dow_buckets": SQL_EPOCH_DOW,
+    "week_index": SQL_WEEK_INDEX,
+    "seconds_into_day": SQL_SECONDS,
+    "cell_encode": SQL_CELL_ENCODE,
+    "haversine": SQL_HAVERSINE,
+    "knn_1nn": SQL_KNN,
+    "tile_assign": SQL_TILE,
+    "pip_bbox": SQL_PIP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "cosine_topk": SQL_COSINE_TOPK,
+}

@@ -70,6 +70,33 @@ def get_spark(
     return spark
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make this package importable in Spark Python workers of an externally
+    created SparkSession (the driver's, a notebook's): zip the package and
+    addPyFile it — the in-process analog of `spark-submit --py-files`.
+    Idempotent per session."""
+    if getattr(spark, "_gtfs_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "gtfs_conflation_pipeline_spark.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._gtfs_pkg_shipped = True
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
