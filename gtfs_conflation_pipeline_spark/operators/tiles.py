@@ -39,8 +39,10 @@ def assign_tiles(matches: DataFrame, osm: DataFrame) -> DataFrame:
         .cast("int")
     )
     geom = osm.select("segment_id", "xs", "ys")
+    par = osm.sparkSession.sparkContext.defaultParallelism
     return (
         matched_segments.join(geom, "segment_id")
+        .repartition(par)
         .withColumn("zoom", zoom)
         .select(
             "segment_id",
