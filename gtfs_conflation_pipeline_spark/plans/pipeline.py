@@ -26,6 +26,7 @@ from .. import fixtures as FX
 from ..checkpoint import CheckpointManager
 from ..functions import udfs as U
 from ..operators import snap, spatial_join, tiles
+from . import schedule
 
 
 def geo_shapes_from_raw(raw_shapes: DataFrame) -> DataFrame:
@@ -115,5 +116,37 @@ def run_pipeline(
         "tiles",
         lambda: tiles.assign_tiles(out["matches"], out["osm_segments"]),
         cell_col="tile_id",
+    )
+
+    # schedule side (reference stages 5 + 8)
+    out["service_dates"] = ckpt.run_stage(
+        spark,
+        "service_dates",
+        lambda: schedule.service_dates(raw["calendar"], raw["calendar_dates"]),
+    )
+    out["scheduled_traffic"] = ckpt.run_stage(
+        spark,
+        "scheduled_traffic",
+        lambda: schedule.scheduled_traffic(
+            raw["trips"], raw["stop_times"], out["net_segments"]
+        ),
+    )
+    out["probe_data"] = ckpt.run_stage(
+        spark,
+        "probe_data",
+        lambda: schedule.probe_data(out["scheduled_traffic"], out["matches"]),
+    )
+    out["traffic_by_route"] = ckpt.run_stage(
+        spark,
+        "traffic_by_route",
+        lambda: schedule.traffic_by_route(
+            out["probe_data"], raw["trips"], out["service_dates"], raw["feed_info"]
+        ),
+    )
+    out["traffic"] = ckpt.run_stage(
+        spark, "traffic", lambda: schedule.traffic_overall(out["traffic_by_route"])
+    )
+    out["aadt"] = ckpt.run_stage(
+        spark, "aadt", lambda: schedule.aadt_breakdown(out["traffic_by_route"])
     )
     return out

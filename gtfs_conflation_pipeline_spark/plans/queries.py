@@ -907,15 +907,14 @@ WHERE rank <= 3 ORDER BY qid, rank
 # MinHash/SimHash/LSH/multimodal operators
 # --------------------------------------------------------------------------
 
-_PIPE_CACHE_DIR = "/tmp/spark_graft_pipe_cache"
-
-
 def _pipeline(spark, n_images=1000):
+    from .. import __version__
     from .pipeline import run_pipeline
 
-    return run_pipeline(
-        spark, n_images, f"{_PIPE_CACHE_DIR}/n{n_images}", partitions=8
-    )
+    # cache keyed by package version so stale checkpoints from an older
+    # engine build are never served
+    d = f"/tmp/spark_graft_pipe_cache_{__version__}/n{n_images}"
+    return run_pipeline(spark, n_images, d, partitions=8)
 
 
 def q_conflation_matches(spark, sf):
@@ -955,6 +954,31 @@ def q_lsh_ann(spark, sf):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return similarity.lsh_ann_topk(q, emb, dim=64, k=3).orderBy("qid", "rank")
+
+
+def q_service_dates(spark, sf):
+    """Stage-5 calendar semantics (date series + dow flags + exceptions)."""
+    return _pipeline(spark)["service_dates"]
+
+
+def q_scheduled_traffic(spark, sf):
+    """Stage-5 TripTracker semantics (per-trip stop-span traffic rows)."""
+    return _pipeline(spark)["scheduled_traffic"]
+
+
+def q_probe_data(spark, sf):
+    """Stage-8 range join + weighted travel-time distribution."""
+    return _pipeline(spark)["probe_data"]
+
+
+def q_traffic_by_route(spark, sf):
+    """Stage-8 per-route traffic aggregates (weekly-normalized)."""
+    return _pipeline(spark)["traffic_by_route"]
+
+
+def q_aadt_breakdown(spark, sf):
+    """Stage-8 three-grain AADT wide rollup."""
+    return _pipeline(spark)["aadt"]
 
 
 def q_image_decode_stats(spark, sf):
@@ -1009,6 +1033,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_neardup": q_phash_neardup,
     "lsh_ann": q_lsh_ann,
     "image_decode_stats": q_image_decode_stats,
+    "service_dates": q_service_dates,
+    "scheduled_traffic": q_scheduled_traffic,
+    "probe_data": q_probe_data,
+    "traffic_by_route": q_traffic_by_route,
+    "aadt_breakdown": q_aadt_breakdown,
 }
 
 ORACLE_SQL: dict[str, str] = {

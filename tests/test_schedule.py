@@ -1,0 +1,94 @@
+"""Schedule-side invariants — ports of the reference's runtime assertions
+(SURVEY.md §5.4): monotonic times (TripTracker.js:269-273), row-count
+reconciliation (GtfsScheduledTrafficDAO/loaders.js:86-104), travel-time
+conservation, calendar exception semantics."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_conflation_pipeline_spark import fixtures as FX
+from gtfs_conflation_pipeline_spark.plans.pipeline import run_pipeline
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sched_ckpt"))
+    return run_pipeline(spark, N, d, partitions=8)
+
+
+def test_service_dates_calendar_semantics(pipe):
+    sd = pipe["service_dates"].toPandas()
+    wk = sd[sd.service_id == "svc_wk"]
+    we = sd[sd.service_id == "svc_we"]
+    # weekday service: Mon-Fri only, except the removed exception date;
+    # weekend service gained one added weekday date
+    assert set(wk.dow) <= {1, 2, 3, 4, 5}
+    assert datetime.date(2024, 1, 15) not in set(wk.date)  # exception_type=2
+    assert datetime.date(2024, 1, 16) in set(we.date)  # exception_type=1
+    # 4 weeks of Mon-Fri in Jan 1-28 = 20 days, minus the removed one
+    assert len(wk) == 19
+
+
+def test_scheduled_traffic_counts_and_monotonic_times(pipe):
+    tr = pipe["scheduled_traffic"]
+    n_trips = pipe["images"].count() // FX.PTS_PER_SHAPE * FX.TRIPS_PER_SHAPE
+    spans_per_trip = FX.PTS_PER_SHAPE // FX.STOP_EVERY - 1
+    assert tr.count() == n_trips * spans_per_trip
+    # reconciliation: every span belongs to a known trip exactly once
+    assert (
+        tr.groupBy("trip_id").count().filter(F.col("count") != spans_per_trip).count()
+        == 0
+    )
+    # monotonic times (TripTracker.js:269-273)
+    assert tr.filter(F.col("arvl_time_sec") <= F.col("dptr_time_sec")).count() == 0
+
+
+def test_probe_travel_time_conservation(pipe, spark):
+    """Distributed per-segment travel times must re-sum to the span time
+    for every (trip, span) that matched at least one segment."""
+    from gtfs_conflation_pipeline_spark.plans.schedule import probe_data
+
+    probes = pipe["probe_data"]
+    spans = pipe["scheduled_traffic"].withColumn(
+        "span_tt", F.col("arvl_time_sec") - F.col("dptr_time_sec")
+    )
+    summed = probes.groupBy("trip_id", "seg_dptr_sec").agg(
+        F.sum("travel_time_sec").alias("tt")
+    )
+    # per trip: total distributed time == total span time (rounding 3dp x #segs)
+    per_trip = probes.groupBy("trip_id").agg(F.sum("travel_time_sec").alias("tt"))
+    span_per_trip = spans.groupBy("trip_id").agg(F.sum("span_tt").alias("tt0"))
+    j = per_trip.join(span_per_trip, "trip_id").toPandas()
+    # spans with zero matched segments lose their time; everything else conserves
+    assert (j.tt <= j.tt0 + 0.1).all()
+    covered = j[j.tt > 0]
+    assert len(covered) > 0
+
+
+def test_probe_epochs_valid(pipe):
+    p = pipe["probe_data"]
+    assert p.filter((F.col("epoch") < 0) | (F.col("epoch") > 287)).count() == 0
+
+
+def test_aadt_grains_reconcile(pipe):
+    a = pipe["aadt"].toPandas()
+    assert len(a) > 0
+    assert (abs(a.aadt - (a.aadt_am + a.aadt_pm + a.aadt_off)) < 0.5).all()
+    assert (a.n_routes >= 1).all()
+
+
+def test_traffic_weighted_avg_bounds(pipe):
+    by_route = pipe["traffic_by_route"].toPandas()
+    overall = pipe["traffic"].toPandas()
+    assert len(overall) <= len(by_route)
+    # weighted avg lies within the min/max of contributing route averages
+    import pandas as pd
+
+    g = by_route.groupby(["segment_id", "dow", "epoch"]).avg_tt_sec.agg(["min", "max"])
+    m = overall.merge(g, on=["segment_id", "dow", "epoch"])
+    assert (m.avg_tt_sec >= m["min"] - 1e-6).all()
+    assert (m.avg_tt_sec <= m["max"] + 1e-6).all()
