@@ -121,4 +121,55 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
                     {"segment_id": sid, "zoom": zoom, "tile_id": int(t)}
                 )
     tiles = pd.DataFrame(tile_rows).drop_duplicates()
-    return {"matches": matches.reset_index(drop=True), "tiles": tiles.reset_index(drop=True)}
+
+    # pass C scores (scoring.score_pair on the same slices)
+    from .operators.scoring import score_pair
+
+    score_rows = []
+    if len(matches):
+        shape_geoms = {}
+        for s in range(n_shapes):
+            shape_geoms[f"shp_{s:05d}"] = (
+                lon[s * FX.PTS_PER_SHAPE : (s + 1) * FX.PTS_PER_SHAPE],
+                lat[s * FX.PTS_PER_SHAPE : (s + 1) * FX.PTS_PER_SHAPE],
+            )
+        osm_by_id = {o.segment_id: o for o in osm.itertuples(index=False)}
+        # score against the sliced GTFS segment geometry, as the engine does
+        for m in matches.itertuples(index=False):
+            xs_all, ys_all = shape_geoms[m.shape_id]
+            seqs = np.arange(0, FX.PTS_PER_SHAPE, FX.STOP_EVERY)
+            s_int = int(m.shape_id[4:])
+            dlon, dlat = FX.stop_jitter(np.full(seqs.size, s_int), seqs)
+            fit = K.fit_stops_to_path(xs_all[seqs] + dlon, ys_all[seqs] + dlat, xs_all, ys_all)
+            total = K.polyline_length_km(xs_all, ys_all)
+            bounds = np.maximum.accumulate(
+                np.concatenate([[0.0], fit["dist_along_km"][1:-1], [total]])
+            )
+            gx, gy = K.line_slice_along(
+                xs_all, ys_all, float(bounds[m.shape_index]), float(bounds[m.shape_index + 1])
+            )
+            gx, gy = K.round6(gx), K.round6(gy)
+            o = osm_by_id[m.segment_id]
+            s = score_pair(
+                gx, gy, np.asarray(o.xs), np.asarray(o.ys),
+                m.section_start, m.section_end, m.osm_start, m.osm_end,
+            )
+            if s is None:
+                continue
+            score_rows.append(
+                {
+                    "shape_id": m.shape_id,
+                    "shape_index": m.shape_index,
+                    "segment_id": m.segment_id,
+                    "shst_reference": m.shst_reference,
+                    "frechet_km": s[0],
+                    "hausdorff_km": s[1],
+                    "mean_dev_km": s[2],
+                }
+            )
+    scores = pd.DataFrame(score_rows)
+    return {
+        "matches": matches.reset_index(drop=True),
+        "tiles": tiles.reset_index(drop=True),
+        "scores": scores.reset_index(drop=True),
+    }

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .. import fixtures as FX
 from ..checkpoint import CheckpointManager
 from ..functions import udfs as U
-from ..operators import snap, spatial_join, tiles
+from ..operators import scoring, snap, spatial_join, tiles
 from . import schedule
 
 
@@ -116,6 +116,14 @@ def run_pipeline(
         "tiles",
         lambda: tiles.assign_tiles(out["matches"], out["osm_segments"]),
         cell_col="tile_id",
+    )
+
+    out["match_scores"] = ckpt.run_stage(
+        spark,
+        "match_scores",
+        lambda: scoring.score_matches(
+            out["matches"], out["net_segments"], out["osm_segments"]
+        ),
     )
 
     # schedule side (reference stages 5 + 8)

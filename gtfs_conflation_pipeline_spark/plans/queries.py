@@ -956,6 +956,11 @@ def q_lsh_ann(spark, sf):
     return similarity.lsh_ann_topk(q, emb, dim=64, k=3).orderBy("qid", "rank")
 
 
+def q_match_scores(spark, sf):
+    """Pass-C chosen-match scoring (Fréchet/Hausdorff, frechet.js analog)."""
+    return _pipeline(spark)["match_scores"]
+
+
 def q_service_dates(spark, sf):
     """Stage-5 calendar semantics (date series + dow flags + exceptions)."""
     return _pipeline(spark)["service_dates"]
@@ -1033,6 +1038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_neardup": q_phash_neardup,
     "lsh_ann": q_lsh_ann,
     "image_decode_stats": q_image_decode_stats,
+    "match_scores": q_match_scores,
     "service_dates": q_service_dates,
     "scheduled_traffic": q_scheduled_traffic,
     "probe_data": q_probe_data,

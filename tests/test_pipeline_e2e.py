@@ -65,6 +65,18 @@ def test_tiles_equal_oracle(pipeline_out, oracle_out):
         assert (eng[k].values == orc[k].values).all(), f"mismatch col {k}"
 
 
+def test_scores_equal_oracle(pipeline_out, oracle_out):
+    _, out = pipeline_out
+    key = ["shape_id", "shape_index", "shst_reference"]
+    eng = out["match_scores"].toPandas().sort_values(key).reset_index(drop=True)
+    orc = oracle_out["scores"].sort_values(key).reset_index(drop=True)
+    assert len(eng) == len(orc)
+    for k in key + ["segment_id"]:
+        assert (eng[k].values == orc[k].values).all(), f"col {k}"
+    for k in ["frechet_km", "hausdorff_km", "mean_dev_km"]:
+        assert np.allclose(eng[k].values, orc[k].values, atol=1e-9), f"col {k}"
+
+
 def test_dropped_chunks_unmatched(oracle_out, pipeline_out):
     """Fixture mode (s+c)%10==0 drops the OSM chunk — those slots must not
     produce full-coverage matches from the true segment, and distractor
