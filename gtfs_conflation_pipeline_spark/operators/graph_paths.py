@@ -1,0 +1,294 @@
+"""Pass B — graph-based path choice (reference stage 4, chooseShstMatchesForShape).
+
+Faithful re-expression of the reference's per-segment pipeline:
+
+  build subgraph     nodes are EXACT rounded coordinates (string equality —
+                     buildShstMatchSubGraphsPerGtfsShapeSegment.js:84-93),
+                     edges are candidate match geometries weighted by
+                     length_km x RMSD meters (:34-44)
+  components         connected components of the undirected view
+  dijkstra paths     per component: min-weight paths from every source
+                     (in-degree 0) to every sink (out-degree 0)
+                     (createPathLineStrings.js:21,47-78)
+  merge fixpoint     geospatial merge (end->start <= 2 m, loop rejection;
+                     mergeLineStringsGeospatially.js) + metadata merge
+                     (shared match-id prefix/suffix;
+                     mergePathLineStringsUsingMetadata.js), repeated to a
+                     fixpoint; paths whose match-id set is a subset of
+                     another's are dropped (unionPathLineStrings.js:13-135)
+  annealed choice    axiomatic paths must satisfy (len >= min_len,
+                     len-diff ratio <= max_ratio, gap <= max_gap); if none
+                     qualify, thresholds relax by sqrt(2) per round within
+                     bounds (chooseOptimalShstMatches/index.js:114-219,
+                     constants.js:1-4)
+
+Everything here is shape/segment-local (no cross-shape state), so in the
+Spark plan it runs inside a grouped kernel with parallelism = number of
+GTFS segments. The default engine chooser (spatial_join.choose_matches)
+is the scale path; `choose_paths_for_segment` is the full-fidelity
+reference-semantics path — on well-behaved candidates the two agree
+(asserted in tests)."""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import kernels as K
+
+MERGE_GAP_KM = 0.002  # 2 m (mergeLineStringsGeospatially.js)
+SQRT2 = 1.4142135623730951
+
+# threshold ladder (constants.js:1-4 shape: start -> bound, relaxed by sqrt2)
+MIN_PATH_LEN_KM = (0.1, 0.005)  # start, floor (relaxed by division)
+MAX_LEN_RATIO = (0.05, 0.8)  # start, ceiling (relaxed by multiplication)
+MAX_GAP_KM = (0.002, 0.1)  # start, ceiling
+
+
+@dataclass
+class MatchEdge:
+    match_id: int
+    shst_reference: str
+    xs: np.ndarray
+    ys: np.ndarray
+    weight: float = 0.0
+
+    def start_key(self) -> tuple:
+        return (round(self.xs[0], 6), round(self.ys[0], 6))
+
+    def end_key(self) -> tuple:
+        return (round(self.xs[-1], 6), round(self.ys[-1], 6))
+
+
+@dataclass
+class Path:
+    match_ids: tuple
+    xs: np.ndarray
+    ys: np.ndarray
+
+    @property
+    def length_km(self) -> float:
+        return K.polyline_length_km(self.xs, self.ys)
+
+
+def edge_weight(edge_xs, edge_ys, seg_xs, seg_ys) -> float:
+    """length x RMSD-meters (buildShstMatchSubGraphsPerGtfsShapeSegment.js:34-44)."""
+    return K.polyline_length_km(edge_xs, edge_ys) * max(
+        K.rmsd_m(np.asarray(edge_xs), np.asarray(edge_ys), seg_xs, seg_ys), 1e-9
+    )
+
+
+def build_edges(matches: list[dict], seg_xs, seg_ys) -> list[MatchEdge]:
+    edges = []
+    for m in matches:
+        e = MatchEdge(
+            match_id=m["match_id"],
+            shst_reference=m["shst_reference"],
+            xs=np.asarray(m["xs"], dtype=np.float64),
+            ys=np.asarray(m["ys"], dtype=np.float64),
+        )
+        if e.xs.size < 2:
+            continue
+        e.weight = edge_weight(e.xs, e.ys, seg_xs, seg_ys)
+        edges.append(e)
+    return edges
+
+
+def connected_components(edges: list[MatchEdge]) -> list[list[MatchEdge]]:
+    """Undirected components over exact-coordinate node identity."""
+    parent: dict = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for e in edges:
+        for k in (e.start_key(), e.end_key()):
+            parent.setdefault(k, k)
+        union(e.start_key(), e.end_key())
+    comps: dict = {}
+    for e in edges:
+        comps.setdefault(find(e.start_key()), []).append(e)
+    return list(comps.values())
+
+
+def dijkstra_paths(comp: list[MatchEdge]) -> list[Path]:
+    """Min-weight source->sink paths (createPathLineStrings.js:21,47-78).
+    Sources = nodes with no incoming edge; sinks = no outgoing edge.
+    Deterministic: ties broken by node key / match id order."""
+    out_edges: dict = {}
+    in_deg: dict = {}
+    nodes = set()
+    for e in sorted(comp, key=lambda e: e.match_id):
+        out_edges.setdefault(e.start_key(), []).append(e)
+        in_deg[e.end_key()] = in_deg.get(e.end_key(), 0) + 1
+        nodes.add(e.start_key())
+        nodes.add(e.end_key())
+    sources = sorted(n for n in nodes if in_deg.get(n, 0) == 0)
+    sinks = sorted(n for n in nodes if not out_edges.get(n))
+    if not sources:  # cyclic component: fall back to every node as source
+        sources = sorted(nodes)
+    paths: list[Path] = []
+    for src in sources:
+        # dijkstra from src
+        dist = {src: 0.0}
+        prev_edge: dict = {}
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for e in out_edges.get(u, []):
+                v = e.end_key()
+                nd = d + e.weight
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    prev_edge[v] = e
+                    heapq.heappush(pq, (nd, v))
+        for snk in sinks:
+            if snk == src or snk not in dist:
+                continue
+            chain: list[MatchEdge] = []
+            node = snk
+            while node != src:
+                e = prev_edge.get(node)
+                if e is None:
+                    chain = []
+                    break
+                chain.append(e)
+                node = e.start_key()
+            if not chain:
+                continue
+            chain.reverse()
+            xs = np.concatenate([chain[0].xs] + [e.xs[1:] for e in chain[1:]])
+            ys = np.concatenate([chain[0].ys] + [e.ys[1:] for e in chain[1:]])
+            paths.append(Path(tuple(e.match_id for e in chain), xs, ys))
+    return paths
+
+
+def merge_geospatial(a: Path, b: Path) -> Path | None:
+    """end(a)->start(b) within 2 m => concatenate; loop (shared match ids or
+    b ending at a's start) rejected (mergeLineStringsGeospatially.js:6-105)."""
+    if set(a.match_ids) & set(b.match_ids):
+        return None
+    gap = float(K.haversine_km(a.xs[-1], a.ys[-1], b.xs[0], b.ys[0]))
+    if gap > MERGE_GAP_KM:
+        return None
+    if (
+        abs(b.xs[-1] - a.xs[0]) < 1e-9 and abs(b.ys[-1] - a.ys[0]) < 1e-9
+    ):  # would close a loop
+        return None
+    return Path(
+        a.match_ids + b.match_ids,
+        np.concatenate([a.xs, b.xs]),
+        np.concatenate([a.ys, b.ys]),
+    )
+
+
+def merge_by_metadata(a: Path, b: Path) -> Path | None:
+    """Paths overlapping on a suffix-of-a == prefix-of-b match-id run merge
+    into one (mergePathLineStringsUsingMetadata.js:9-197)."""
+    amid, bmid = a.match_ids, b.match_ids
+    max_k = min(len(amid), len(bmid))
+    for k in range(max_k, 0, -1):
+        if amid[-k:] == bmid[:k]:
+            if set(amid[:-k]) & set(bmid[k:]):
+                return None
+            # geometric stitch: a up to overlap end, then b's remainder
+            return Path(amid + bmid[k:], a.xs, a.ys) if k == len(bmid) else Path(
+                amid + bmid[k:],
+                np.concatenate([a.xs, b.xs[-1:]]),
+                np.concatenate([a.ys, b.ys[-1:]]),
+            )
+    return None
+
+
+def union_paths(paths: list[Path], max_rounds: int = 8) -> list[Path]:
+    """Merge fixpoint + subset drop (unionPathLineStrings.js:13-135).
+    Deterministic order: paths sorted by (match_ids)."""
+    paths = sorted(paths, key=lambda p: p.match_ids)
+    for _ in range(max_rounds):
+        merged_any = False
+        out: list[Path] = []
+        used = [False] * len(paths)
+        for i, a in enumerate(paths):
+            if used[i]:
+                continue
+            cur = a
+            for j, b in enumerate(paths):
+                if i == j or used[j]:
+                    continue
+                m = merge_geospatial(cur, b) or merge_by_metadata(cur, b)
+                if m is not None:
+                    cur = m
+                    used[j] = True
+                    merged_any = True
+            used[i] = True
+            out.append(cur)
+        paths = sorted(out, key=lambda p: p.match_ids)
+        if not merged_any:
+            break
+    # subset drop: match-id set contained in another path's set
+    keep = []
+    sets = [set(p.match_ids) for p in paths]
+    for i, p in enumerate(paths):
+        if any(i != j and sets[i] < sets[j] for j in range(len(paths))):
+            continue
+        keep.append(p)
+    return keep
+
+
+def choose_paths_for_segment(
+    matches: list[dict], seg_xs, seg_ys
+) -> list[Path]:
+    """Full Pass-B choice for one GTFS segment: subgraph -> components ->
+    dijkstra -> union fixpoint -> annealed axiomatic selection."""
+    seg_xs = np.asarray(seg_xs, dtype=np.float64)
+    seg_ys = np.asarray(seg_ys, dtype=np.float64)
+    seg_len = K.polyline_length_km(seg_xs, seg_ys)
+    edges = build_edges(matches, seg_xs, seg_ys)
+    if not edges:
+        return []
+    paths: list[Path] = []
+    for comp in connected_components(edges):
+        paths.extend(dijkstra_paths(comp))
+    if not paths:  # single-edge components with cycles
+        paths = [Path((e.match_id,), e.xs, e.ys) for e in edges]
+    paths = union_paths(paths)
+
+    # threshold annealing (chooseOptimalShstMatches/index.js:114-219)
+    min_len, min_len_floor = MIN_PATH_LEN_KM
+    max_ratio, max_ratio_ceil = MAX_LEN_RATIO
+    max_gap, max_gap_ceil = MAX_GAP_KM
+    for _round in range(12):
+        chosen = []
+        for p in sorted(paths, key=lambda p: (-p.length_km, p.match_ids)):
+            plen = p.length_km
+            if plen < min_len:
+                continue
+            if seg_len > 0 and abs(plen - seg_len) / seg_len > max_ratio:
+                continue
+            gap = float(
+                K.haversine_km(seg_xs[0], seg_ys[0], p.xs[0], p.ys[0])
+            )
+            if gap > max_gap:
+                continue
+            chosen.append(p)
+        if chosen:
+            return chosen
+        min_len = max(min_len / SQRT2, min_len_floor)
+        max_ratio = min(max_ratio * SQRT2, max_ratio_ceil)
+        max_gap = min(max_gap * SQRT2, max_gap_ceil)
+    # non-axiomatic fallback after the ladder is exhausted: longest union
+    # path (findNonAxiomaticPaths.js:229-242 max-total-length combo, capped
+    # — the O(2^n) hazard the reference flags at :218-222)
+    return sorted(paths, key=lambda p: (-p.length_km, p.match_ids))[:1]

@@ -87,15 +87,20 @@ def ensure_shipped(spark: SparkSession) -> None:
     zip_path = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), "gtfs_conflation_pipeline_spark.zip"
     )
-    if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ]
+    newest_src = max(os.path.getmtime(p) for p in sources)
+    # rebuild whenever any source is newer than the zip — a stale zip makes
+    # workers import old code (or miss new modules) silently
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        tmp = zip_path + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for full in sources:
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._gtfs_pkg_shipped = True
