@@ -162,12 +162,10 @@ def refine(pairs: DataFrame, corridor_km: float = CORRIDOR_KM) -> DataFrame:
     """Phase 2: Arrow-batched corridor refine. Emits one row per surviving
     pair with the overlap interval on both lines + deviation stats."""
 
-    # spread the numpy kernel across all cores: AQE coalesces the small
-    # upstream shuffle to few partitions (right for bytes, wrong for CPU);
-    # an explicit repartition pins kernel parallelism
-    spark = pairs.sparkSession
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
-
+    # Kernel parallelism comes from the attach-join shuffle upstream: with
+    # the session's 16 MB AQE advisory size the join output keeps enough
+    # partitions for the CPU-bound kernel, so no extra repartition of the
+    # heavy array payload is needed.
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {f.name: [] for f in REFINE_SCHEMA.fields}

@@ -55,6 +55,9 @@ def get_spark(
         # stages are CPU-bound per row, not byte-bound, so 1MB-min coalescing
         # (the default) under-parallelizes them
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Arrow-kernel stages are CPU-bound per row: target small shuffle
+        # partitions so AQE never starves them of tasks
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
@@ -66,6 +69,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    # scaling experiments route shuffle/spill through tmpfs to emulate
+    # per-executor local disks (a real cluster adds disks with executors;
+    # local mode otherwise serializes all parallelism levels on one disk)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
