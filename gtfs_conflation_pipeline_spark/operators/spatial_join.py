@@ -74,7 +74,11 @@ REFINE_SCHEMA = T.StructType(
 
 
 def candidate_pairs(
-    segments: DataFrame, osm: DataFrame, cell_deg: float = CELL_DEG, ring: int = 1
+    segments: DataFrame,
+    osm: DataFrame,
+    cell_deg: float = CELL_DEG,
+    ring: int = 1,
+    pad_km: float = CORRIDOR_KM,
 ) -> DataFrame:
     """Phase 1: cell-bucketed candidate generation.
 
@@ -113,8 +117,8 @@ def candidate_pairs(
     # than saving the joins — measured: bbox-through-explode tripled the
     # cell-join shuffle and cost 2x wall. Pad = corridor radius in degrees,
     # conservatively inflated (recall-safe).
-    pad_lat = 4.0e-4  # > 30 m in degrees latitude
-    pad_lon = 6.0e-4  # > 30 m in degrees longitude at |lat| <= 60
+    pad_lat = pad_km / 75.0  # degrees latitude, ~1.5x inflated
+    pad_lon = pad_km / 50.0  # degrees longitude, safe to |lat| <= 60
     g_box = segments.select(
         "shape_id",
         "shape_index",
@@ -266,13 +270,35 @@ def conflation_join(
     cell_deg: float = CELL_DEG,
     ring: int = 1,
     corridor_km: float = CORRIDOR_KM,
+    retry_rings: tuple[int, ...] = (),
+    retry_corridor_km: float | None = None,
 ) -> DataFrame:
     """Full filter-refine-choose chain. Returns the flagship match table:
     (shape_id, shape_index, segment_id, shst_reference, networklevel,
     section_start, section_end, osm_start, osm_end, intxn_len_km,
-    mean_dev_km, max_dev_km, along_idx)."""
+    mean_dev_km, max_dev_km, along_idx).
+
+    retry_rings: the retry ladder (shstMatchFeatures.js:283-362 re-expressed
+    — the reference re-runs unmatched features through OSRM with widening
+    slice strategies; here a candidate MISS widens the cell k-ring and,
+    optionally, the corridor radius, for ONLY the unmatched segments via an
+    anti-join). Off by default: with the corridor-scale cell size the first
+    pass is already recall-complete for in-tolerance geometry; the ladder
+    exists for sparse/offset map data.
+    """
     pairs = candidate_pairs(segments, osm, cell_deg=cell_deg, ring=ring)
     refined = refine(pairs, corridor_km=corridor_km)
+    for r in retry_rings:
+        matched_keys = refined.select("shape_id", "shape_index").distinct()
+        unmatched = segments.join(
+            matched_keys, ["shape_id", "shape_index"], "left_anti"
+        )
+        rc = retry_corridor_km or corridor_km
+        wider = refine(
+            candidate_pairs(unmatched, osm, cell_deg=cell_deg, ring=r, pad_km=rc),
+            corridor_km=rc,
+        )
+        refined = refined.unionByName(wider)
     g_len = segments.select(
         "shape_id", "shape_index", F.col("length_km").alias("g_len_km")
     )

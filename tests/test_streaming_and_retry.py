@@ -1,0 +1,87 @@
+"""Streaming windowed-agg equivalence + conflation retry ladder."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_conflation_pipeline_spark import fixtures as FX
+from gtfs_conflation_pipeline_spark.operators import spatial_join
+from gtfs_conflation_pipeline_spark.streaming.windows import (
+    epoch_counts_batch,
+    epoch_counts_stream,
+)
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "stream_src")
+    events.repartition(6).write.parquet(src)  # several files -> micro-batches
+    batch = (
+        epoch_counts_batch(spark.read.parquet(src))
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    q = epoch_counts_stream(
+        spark, src, str(tmp_path / "stream_ckpt"), events.schema
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("epoch_counts").orderBy("window_start", "event_type").toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch)
+
+
+def _mini_net(spark):
+    """One straight net segment."""
+    xs = [float(x) for x in np.round(np.linspace(-74.0, -73.995, 6), 6)]
+    ys = [42.0] * 6
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    return spark.createDataFrame(
+        [("shp_x", 0, "a", "b", 0.0, K.polyline_length_km(xs, ys), xs, ys)],
+        "shape_id string, shape_index int, from_stop_id string, to_stop_id string,"
+        " start_dist_km double, length_km double, xs array<double>, ys array<double>",
+    )
+
+
+def _mini_osm(spark, dy):
+    xs = [float(x) for x in np.round(np.linspace(-74.0, -73.995, 6), 6)]
+    ys = [42.0 + dy] * 6
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    return spark.createDataFrame(
+        [(1, "ref_far", 2, K.polyline_length_km(xs, ys), xs, ys)],
+        "segment_id long, shst_reference string, networklevel int,"
+        " length_km double, xs array<double>, ys array<double>",
+    )
+
+
+def test_retry_ladder_recovers_offset_map(spark):
+    """An OSM segment ~110 m north is outside the 30 m corridor (first pass
+    misses) but inside a 150 m retry corridor with a widened k-ring."""
+    net = _mini_net(spark)
+    osm = _mini_osm(spark, dy=0.001)  # ~110 m offset
+    base = spatial_join.conflation_join(net, osm)
+    assert base.count() == 0
+    retried = spatial_join.conflation_join(
+        net, osm, retry_rings=(2,), retry_corridor_km=0.15
+    )
+    got = retried.collect()
+    assert len(got) == 1
+    assert got[0].shst_reference == "ref_far"
+    assert got[0].mean_dev_km == pytest.approx(0.111, abs=0.01)
+
+
+def test_retry_ladder_no_double_match(spark):
+    """Segments matched in pass 1 are NOT re-matched by the retry pass."""
+    net = _mini_net(spark)
+    osm_near = _mini_osm(spark, dy=0.0).withColumn(
+        "shst_reference", F.lit("ref_near")
+    )
+    both = osm_near.union(_mini_osm(spark, dy=0.001))
+    res = spatial_join.conflation_join(
+        net, both, retry_rings=(2,), retry_corridor_km=0.15
+    ).collect()
+    refs = sorted(r.shst_reference for r in res)
+    assert refs == ["ref_near"]  # near match found in pass 1; no retry ran
