@@ -188,7 +188,9 @@ def osm_segment_batch(seg_ids: np.ndarray) -> pd.DataFrame:
         out["length_km"].append(K.polyline_length_km(lon, lat))
         out["xs"].append(lon)
         out["ys"].append(lat)
-    return pd.DataFrame(out)
+    from .functions.udfs import arrow_frame
+
+    return arrow_frame(out)
 
 
 def n_shapes_for(n_images: int) -> int:

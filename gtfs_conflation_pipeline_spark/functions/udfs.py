@@ -15,6 +15,17 @@ from pyspark.sql import types as T
 from .. import kernels as K
 
 
+def arrow_frame(out: dict, object_cols: tuple[str, ...] = ("xs", "ys")) -> pd.DataFrame:
+    """Build a kernel-output DataFrame whose array columns survive Arrow
+    conversion even when EMPTY: a zero-row dict-of-lists otherwise yields
+    float64 columns that Arrow cannot cast to list<double>."""
+    df = pd.DataFrame({k: v for k, v in out.items() if k not in object_cols})
+    for c in object_cols:
+        if c in out:
+            df[c] = pd.Series(out[c], dtype=object)
+    return df[list(out.keys())]
+
+
 @F.pandas_udf(T.DoubleType())
 def length_km(xs: pd.Series, ys: pd.Series) -> pd.Series:
     """Polyline haversine length (turf.length) per row."""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import kernels as K
+from ..functions.udfs import arrow_frame
 
 SEGMENTS_SCHEMA = (
     "shape_id string, shape_index int, from_stop_id string, to_stop_id string, "
@@ -47,7 +48,7 @@ def _fit_and_slice(pdf: pd.DataFrame) -> pd.DataFrame:
         "ys": [],
     }
     if xs.size < 2 or len(stop_ids) < 2:
-        return pd.DataFrame(out)
+        return arrow_frame(out)
     fit = K.fit_stops_to_path(sx, sy, xs, ys)
     total = K.polyline_length_km(xs, ys)
     # slice boundaries: shape start, interior snapped stops, shape end —
@@ -70,7 +71,7 @@ def _fit_and_slice(pdf: pd.DataFrame) -> pd.DataFrame:
         out["length_km"].append(hi - lo)
         out["xs"].append(K.round6(gx))
         out["ys"].append(K.round6(gy))
-    return pd.DataFrame(out)
+    return arrow_frame(out)
 
 
 def snap_and_slice(shapes_with_stops: DataFrame) -> DataFrame:
@@ -89,6 +90,63 @@ def snap_and_slice(shapes_with_stops: DataFrame) -> DataFrame:
         .groupBy("shape_id")
         .applyInPandas(_fit_and_slice, SEGMENTS_SCHEMA)
         .withColumn("shape_index", F.col("shape_index").cast("int"))
+    )
+
+
+PRESPLIT_SCHEMA = (
+    "shape_id string, part_index int, xs array<double>, ys array<double>, "
+    "length_km double"
+)
+
+
+def presplit_long_shapes(
+    shapes: DataFrame, max_len_km: float = 2.0, max_turn_deg: float = 67.5
+) -> DataFrame:
+    """Feature pre-split — reference shstMatchFeatures.js:46,130-175 (split
+    features >2 km into equal connected chunks) combined with the
+    bearing-based splitter (splitLineStringUsingSmoothness.js:8,50-81:
+    split where the bearing changes more than 67.5 deg).
+
+    Input: geo_shapes (shape_id, xs, ys). Output: one row per part, parts
+    connected (each part starts at the previous part's last coordinate).
+    Arrow-batched; per-shape numpy.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("shape_id", "part_index", "xs", "ys", "length_km")}
+        for r in pdf.itertuples(index=False):
+            xs = np.asarray(r.xs, dtype=np.float64)
+            ys = np.asarray(r.ys, dtype=np.float64)
+            if xs.size < 2:
+                continue
+            # cut at sharp bearing changes first
+            cut_idx = list(K.bearing_split_indices(xs, ys, max_turn_deg=max_turn_deg))
+            bounds = [0, *cut_idx, xs.size - 1]
+            part = 0
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                px, py = xs[a : b + 1], ys[a : b + 1]
+                if px.size < 2:
+                    continue
+                total = K.polyline_length_km(px, py)
+                n_chunks = max(1, int(np.ceil(total / max_len_km)))
+                step = total / n_chunks
+                for c in range(n_chunks):
+                    cx, cy = K.line_slice_along(px, py, c * step, (c + 1) * step)
+                    if cx.size < 2:
+                        continue
+                    out["shape_id"].append(r.shape_id)
+                    out["part_index"].append(part)
+                    out["xs"].append(cx)
+                    out["ys"].append(cy)
+                    out["length_km"].append(K.polyline_length_km(cx, cy))
+                    part += 1
+        return arrow_frame(out)
+
+    spark = shapes.sparkSession
+    return (
+        shapes.repartition(spark.sparkContext.defaultParallelism, "shape_id")
+        .groupBy("shape_id")
+        .applyInPandas(lambda pdf: kernel(pdf), PRESPLIT_SCHEMA)
     )
 
 
