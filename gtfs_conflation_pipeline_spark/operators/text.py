@@ -37,19 +37,25 @@ def stopword_ratio(text: Column) -> Column:
     return hits / F.size(w)
 
 
-def quality_score(text: Column) -> Column:
-    """Composite quality: penalize tiny docs, low vocabulary diversity, and
-    stopword-free (non-language) strings. Rounded for portability."""
+def quality_score_raw(text: Column) -> Column:
+    """Composite quality in [0,1]: penalize tiny docs, low vocabulary
+    diversity, and stopword-free (non-language) strings. Unrounded — the
+    components are small rationals that land on exact decimal ties, where
+    engines' rounding modes differ; round/floor at the consumer."""
     w = words(text)
     n = F.size(w)
     avg_len = F.length(F.regexp_replace(text, " ", "")) / n
-    return F.round(
+    return (
         F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
         + distinct_ratio(text) * 0.3
         + F.least(stopword_ratio(text) * 5.0, F.lit(1.0)) * 0.2
-        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.1,
-        4,
+        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.1
     )
+
+
+def quality_score(text: Column) -> Column:
+    """Rounded (4 dp) quality score for human-facing use."""
+    return F.round(quality_score_raw(text), 4)
 
 
 def lang_id(text: Column) -> Column:

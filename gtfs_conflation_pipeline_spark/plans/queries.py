@@ -902,6 +902,91 @@ WHERE rank <= 3 ORDER BY qid, rank
 """
 
 
+def q_string_funcs(spark, sf):
+    """String scalar family (§2.8): lower/substring/regexp_replace/concat
+    (RawGtfsDAO filename lowering, date reformatting, JSON-concat analogs)."""
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       substr(p_name, 1, 5) AS name_head,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       p_brand || '#' || p_type AS brand_type,
+       length(p_name) AS name_len
+FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+"""
+
+
+def q_quality_score(spark, sf):
+    """Composite document quality score (training-data operator).
+
+    Exposed as an integer milli-score via floor: the raw score lands on
+    exact .xxxx5 ties (rational components), where Spark's HALF_UP and
+    DuckDB's banker-style round() disagree; floor of the identical IEEE
+    double is engine-stable."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.floor(text.quality_score_raw(F.col("text")) * 10000)
+        .cast("long")
+        .alias("quality_milli"),
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       floor((
+         least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+         + (len(list_distinct(string_split(text,' ')))
+            / len(string_split(text,' '))) * 0.3
+         + least((len(list_filter(string_split(text,' '), w -> w IN {_SW}))
+                  / len(string_split(text,' '))) * 5.0, 1.0) * 0.2
+         + least((length(replace(text,' ','')) / len(string_split(text,' ')))
+                 / 8.0, 1.0) * 0.1) * 10000)::BIGINT AS quality_milli
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_case_buckets(spark, sf):
+    """CASE bucketing — the peak-period CASE (createTableFns.js:121-143)
+    over order totals."""
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket", "o_orderstatus")
+    )
+
+
+SQL_CASE_BUCKETS = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2 ORDER BY bucket, o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible entries (rows-only driver check): the geo pipeline +
 # MinHash/SimHash/LSH/multimodal operators
@@ -1030,6 +1115,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
+    "string_funcs": q_string_funcs,
+    "quality_score": q_quality_score,
+    "case_buckets": q_case_buckets,
     # rows-only (non-SQL-expressible: geometry kernels / LSH / multimodal)
     "conflation_matches": q_conflation_matches,
     "tile_assignments": q_tile_assignments,
@@ -1078,4 +1166,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "string_funcs": SQL_STRING_FUNCS,
+    "quality_score": SQL_QUALITY,
+    "case_buckets": SQL_CASE_BUCKETS,
 }
