@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "40000"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "1000000"))
 
 HEADLINE = [
     "pricing_summary",

@@ -61,11 +61,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    salt_hot_shingles: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
-    df-cut (`max_shingle_freq`) drops ubiquitous shingles before the
-    self-join — the skew guard at scale.
+    Skew guards for web scale: df-cut (`max_shingle_freq`) drops ubiquitous
+    shingles before the self-join; `salt_hot_shingles` additionally routes
+    the self-join through the explicit salted join (operators.skew) with
+    that salt factor — for shingles that are hot but below the df-cut.
     """
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
@@ -76,9 +79,16 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
+    if salt_hot_shingles:
+        from .skew import salted_join
+
+        joined = salted_join(
+            a, b, "sh", n_salts=salt_hot_shingles, hot_threshold=1000, salt_cols=["id_a"]
+        )
+    else:
+        joined = a.join(b, "sh")
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
