@@ -37,10 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: shape->OSM conflation join rows at sf0.001 scale
     (1000 images -> 20 shapes), checkpointed under /tmp."""
     _prep(spark)
+    from gtfs_conflation_pipeline_spark import __version__
     from gtfs_conflation_pipeline_spark.plans.pipeline import run_pipeline
 
+    # version-keyed checkpoint dir: stale checkpoints from an older engine
+    # build must never be served to the driver's smoke check
     out = run_pipeline(
-        spark, 1000, "/tmp/spark_graft_entry_ckpt", partitions=8
+        spark, 1000, f"/tmp/spark_graft_entry_ckpt_{__version__}", partitions=8
     )
     return out["matches"]
 

@@ -69,6 +69,7 @@ class CheckpointManager:
         metrics: dict | None = None,
         cell_col: str | None = None,
         num_files: int | None = None,
+        rows_in_from: str | None = None,
     ) -> DataFrame:
         """Write a stage output + per-partition lineage manifest.
 
@@ -99,9 +100,14 @@ class CheckpointManager:
             .agg(*agg)
             .collect()
         )
+        rows_in = None
+        if rows_in_from and self.is_complete(rows_in_from):
+            rows_in = self.manifest(rows_in_from).get("rows_out")
         manifest = {
             "stage": stage,
             "complete": True,
+            "rows_in": rows_in,
+            "rows_in_from": rows_in_from,
             "written_at": time.time(),
             "wall_sec": round(time.time() - t0, 3),
             "rows_out": sum(r["rows_out"] for r in part_rows),
@@ -133,6 +139,7 @@ class CheckpointManager:
         metrics_fn: Callable[[DataFrame], dict] | None = None,
         cell_col: str | None = None,
         num_files: int | None = None,
+        rows_in_from: str | None = None,
     ) -> DataFrame:
         """Compute-or-resume: skip ``fn`` entirely if the stage's manifest is
         complete (the reference's per-stage re-runnability, run:41-49)."""
@@ -143,7 +150,12 @@ class CheckpointManager:
         df = fn()
         metrics = metrics_fn(df) if metrics_fn else None
         return self.write(
-            df, stage, metrics=metrics, cell_col=cell_col, num_files=num_files
+            df,
+            stage,
+            metrics=metrics,
+            cell_col=cell_col,
+            num_files=num_files,
+            rows_in_from=rows_in_from,
         )
 
     def invalidate(self, stage: str) -> None:

@@ -36,16 +36,36 @@ DECODE_STATS_SCHEMA = T.StructType(
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one payload to an (w, h, 3) uint8 array.
 
-    'raw' = C-order uint8 buffer (real). Other codecs are stubbed:
-    the Spark plumbing around this call is complete; swap in a real codec
-    (PIL/turbojpeg) on a cluster that ships one.
+    'raw'  = C-order uint8 buffer (lossless, real).
+    'qraw' = 2-bit-quantized raw (deterministic LOSSY stand-in: values are
+             stored with the low 2 bits dropped; decode reconstructs the
+             bucket midpoint). Max per-pixel error 2 -> PSNR >= 40 dB by
+             construction, exercising the input_hint lossy gate.
+    Other codecs are stubbed: the Spark plumbing around this call is
+    complete; swap in a real codec (PIL/turbojpeg) on a cluster with one.
     """
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8).reshape(w, h, 3)
+    if fmt == "qraw":
+        q = np.frombuffer(buf, dtype=np.uint8).reshape(w, h, 3)
+        return (q & 0xFC) | 0x02
     raise NotImplementedError(
         f"image codec '{fmt}' is stubbed in this environment (no image libs); "
-        "only fmt='raw' decodes"
+        "only fmt='raw'/'qraw' decode"
     )
+
+
+def encode_qraw(pixels: np.ndarray) -> bytes:
+    """Lossy 'qraw' encode: drop the 2 low bits per channel."""
+    return (pixels & 0xFC).astype(np.uint8).tobytes()
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio between two uint8 images, dB."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
 
 
 def decode_stats(images: DataFrame) -> DataFrame:

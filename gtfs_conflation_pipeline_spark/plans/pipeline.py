@@ -84,8 +84,11 @@ def run_pipeline(
         "geo_shapes",
         lambda: geo_shapes_from_raw(raw["shapes"]),
         cell_col="cell",
+        rows_in_from="images",
     )
-    out["geo_stops"] = ckpt.run_stage(spark, "geo_stops", lambda: raw["stops"])
+    out["geo_stops"] = ckpt.run_stage(
+        spark, "geo_stops", lambda: raw["stops"], rows_in_from="images"
+    )
 
     def _net() -> DataFrame:
         sws = snap.shapes_with_stop_sequences(
@@ -93,7 +96,9 @@ def run_pipeline(
         )
         return snap.snap_and_slice(sws)
 
-    out["net_segments"] = ckpt.run_stage(spark, "net_segments", _net)
+    out["net_segments"] = ckpt.run_stage(
+        spark, "net_segments", _net, rows_in_from="geo_shapes"
+    )
 
     def _matches() -> DataFrame:
         return spatial_join.conflation_join(
@@ -109,6 +114,7 @@ def run_pipeline(
             .distinct()
             .count()
         },
+        rows_in_from="net_segments",
     )
 
     out["tiles"] = ckpt.run_stage(
@@ -116,6 +122,7 @@ def run_pipeline(
         "tiles",
         lambda: tiles.assign_tiles(out["matches"], out["osm_segments"]),
         cell_col="tile_id",
+        rows_in_from="matches",
     )
 
     out["match_scores"] = ckpt.run_stage(
@@ -124,6 +131,7 @@ def run_pipeline(
         lambda: scoring.score_matches(
             out["matches"], out["net_segments"], out["osm_segments"]
         ),
+        rows_in_from="matches",
     )
 
     # schedule side (reference stages 5 + 8)
@@ -143,6 +151,7 @@ def run_pipeline(
         spark,
         "probe_data",
         lambda: schedule.probe_data(out["scheduled_traffic"], out["matches"]),
+        rows_in_from="scheduled_traffic",
     )
     out["traffic_by_route"] = ckpt.run_stage(
         spark,
@@ -150,6 +159,7 @@ def run_pipeline(
         lambda: schedule.traffic_by_route(
             out["probe_data"], raw["trips"], out["service_dates"], raw["feed_info"]
         ),
+        rows_in_from="probe_data",
     )
     out["traffic"] = ckpt.run_stage(
         spark, "traffic", lambda: schedule.traffic_overall(out["traffic_by_route"])
