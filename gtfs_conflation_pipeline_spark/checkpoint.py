@@ -70,12 +70,17 @@ class CheckpointManager:
         cell_col: str | None = None,
         num_files: int | None = None,
         rows_in_from: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> DataFrame:
         """Write a stage output + per-partition lineage manifest.
 
         Lineage per written partition: rows_out, and (if ``cell_col`` is a
         column of cell/tile ids) the count of distinct cells touched — the
         north rule's per-partition metrics (rows in/out, cells touched).
+
+        ``partition_by``: hive-style partition columns (the parquet analog
+        of an Iceberg partition spec) — downstream queries that filter on
+        them get partition pruning at the scan.
         """
         spark = df.sparkSession
         d = self._data(stage)
@@ -88,7 +93,10 @@ class CheckpointManager:
             # a stage output that downstream kernel stages scan should have
             # >= cluster-parallelism files, or the scan caps their task count
             df = df.repartition(num_files)
-        df.write.mode("overwrite").parquet(d)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(d)
         out = spark.read.parquet(d)
 
         # per-file (== per written partition) lineage rows

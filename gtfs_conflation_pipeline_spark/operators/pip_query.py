@@ -44,13 +44,60 @@ def polygon_cover_cells(ring_x, ring_y, cell_deg: float = CELL_DEG) -> list[int]
     return [int(c) for c in K.morton64(xs.ravel(), ys.ravel()).astype(np.int64)]
 
 
+PARTITION_CELL_DEG = 0.128  # coarse hive-partition grid (64x the fine cells)
+
+
+def partition_cell_of(lon_col, lat_col):
+    """Coarse partition-cell id as a pure column expression (packed grid
+    key, not Morton — partition values don't need locality ordering)."""
+    ix = F.floor((lon_col + 180.0) / PARTITION_CELL_DEG).cast("long")
+    iy = F.floor((lat_col + 90.0) / PARTITION_CELL_DEG).cast("long")
+    return ix * (1 << 21) + iy
+
+
+def polygon_partition_cells(ring_x, ring_y) -> list[int]:
+    """Coarse partition cells covering the query polygon's bbox."""
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    ix0 = int(np.floor((rx.min() + 180.0) / PARTITION_CELL_DEG))
+    ix1 = int(np.floor((rx.max() + 180.0) / PARTITION_CELL_DEG))
+    iy0 = int(np.floor((ry.min() + 90.0) / PARTITION_CELL_DEG))
+    iy1 = int(np.floor((ry.max() + 90.0) / PARTITION_CELL_DEG))
+    return [
+        ix * (1 << 21) + iy
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
+    ]
+
+
 def segments_overlapping_polygon(
     osm: DataFrame, ring_x, ring_y, cell_deg: float = CELL_DEG
 ) -> DataFrame:
     """Segments with at least one vertex inside the query ring
     (geopoly_overlap observable semantics for the reference's 5 m-buffered
-    segments: vertex membership, since buffering is symmetric)."""
+    segments: vertex membership, since buffering is symmetric).
+
+    If `osm` carries a `p_cell` partition column (written via
+    CheckpointManager partition_by — the Iceberg partition-spec analog), an
+    isin filter on the polygon's coarse cells is applied FIRST so the
+    parquet scan prunes whole partitions (PartitionFilters in the plan):
+    at 10^12 rows only the touched partition directories are read.
+
+    NOTE: segments near a partition boundary may have vertices in a
+    neighboring partition; p_cell is assigned from the FIRST vertex, so the
+    pruning filter includes a 1-cell ring margin (coarse cells are 64x the
+    segment length — a segment never spans more than 2 coarse cells).
+    """
     spark = osm.sparkSession
+    if "p_cell" in osm.columns:
+        base = set(polygon_partition_cells(ring_x, ring_y))
+        with_margin = set()
+        for c in base:
+            ix, iy = divmod(c, 1 << 21)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    with_margin.add((ix + dx) * (1 << 21) + (iy + dy))
+        osm = osm.filter(F.col("p_cell").isin(sorted(with_margin)))
     cover = make_cover_cells_udf(cell_deg, ring=0)
     cells_df = spark.createDataFrame(
         [(c,) for c in polygon_cover_cells(ring_x, ring_y, cell_deg)], "cell long"

@@ -1041,6 +1041,19 @@ def q_lsh_ann(spark, sf):
     return similarity.lsh_ann_topk(q, emb, dim=64, k=3).orderBy("qid", "rank")
 
 
+def q_ivf_ann(spark, sf):
+    """IVF-bucketed ANN (coarse-quantizer variant of lsh_ann)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_ann_topk(q, emb, n_centroids=16, nprobe=4, k=3).orderBy(
+        "qid", "rank"
+    )
+
+
 def q_match_scores(spark, sf):
     """Pass-C chosen-match scoring (Fréchet/Hausdorff, frechet.js analog)."""
     return _pipeline(spark)["match_scores"]
@@ -1125,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "image_decode_stats": q_image_decode_stats,
     "match_scores": q_match_scores,
     "service_dates": q_service_dates,

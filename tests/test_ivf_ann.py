@@ -1,0 +1,40 @@
+"""IVF ANN: recall grows with nprobe; probing every bucket recovers the
+exact brute-force top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_conflation_pipeline_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb_q(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, q
+
+
+def _recall(exact, approx):
+    e = exact.groupby("qid").vec_id.apply(set)
+    a = approx.groupby("qid").vec_id.apply(set)
+    return sum(len(e[k] & a.get(k, set())) for k in e.index) / (3 * len(e))
+
+
+def test_ivf_recall_increases_with_nprobe(spark, emb_q):
+    emb, q = emb_q
+    exact = similarity.cosine_topk(q, emb, k=3).toPandas()
+    r2 = _recall(exact, similarity.ivf_ann_topk(q, emb, 16, nprobe=2, k=3).toPandas())
+    r8 = _recall(exact, similarity.ivf_ann_topk(q, emb, 16, nprobe=8, k=3).toPandas())
+    assert r8 >= r2
+    assert r8 >= 0.6
+
+
+def test_ivf_full_probe_is_exact(spark, emb_q):
+    emb, q = emb_q
+    exact = similarity.cosine_topk(q, emb, k=3).toPandas()
+    full = similarity.ivf_ann_topk(q, emb, n_centroids=16, nprobe=16, k=3).toPandas()
+    assert _recall(exact, full) == 1.0
