@@ -80,6 +80,45 @@ def midpoints(xs: np.ndarray, ys: np.ndarray):
     return ox, oy
 
 
+MI_PER_KM = 1.0 / 1.60934
+
+
+def infer_dist_units_to_km(last_dist: float, shape_len_km: float):
+    """GTFS shape_dist_traveled unit inference — reference
+    GeoJsonGtfsDAO/generators.js:19-94.
+
+    The unit of the OPTIONAL shape_dist_traveled columns is unspecified;
+    the reference infers it by comparing the LAST stop's value against the
+    shape length expressed in {miles, feet, km, meters} and picking the
+    closest, then converts to km and enforces a +-10% sanity invariant
+    (generators.js:84-88 throws on failure).
+
+    (The reference's own selection code has a JS bug — `closest === mi`
+    compares an array to a number — so this re-expresses the documented
+    intent, which its sanity check enforces anyway.)
+
+    Returns (scale_to_km, unit_name); raises ValueError when the converted
+    value misses the shape length by >10%.
+    """
+    if last_dist is None or not np.isfinite(last_dist):
+        return None, None
+    candidates = {
+        "mi": shape_len_km * MI_PER_KM,
+        "ft": shape_len_km * MI_PER_KM * 5280.0,
+        "km": shape_len_km,
+        "m": shape_len_km * 1000.0,
+    }
+    unit = min(candidates, key=lambda u: abs(last_dist - candidates[u]))
+    scale = {"mi": 1.60934, "ft": 1.60934 / 5280.0, "km": 1.0, "m": 1e-3}[unit]
+    converted = last_dist * scale
+    if shape_len_km > 0 and abs(converted - shape_len_km) / shape_len_km > 0.1:
+        raise ValueError(
+            f"unit conversion fail: shape length {shape_len_km} km, "
+            f"converted last dist {converted} km (unit guess '{unit}')"
+        )
+    return scale, unit
+
+
 # ---------------------------------------------------------------------------
 # 64-bit deterministic mixes (fixture generation; numpy side of F.xxhash64-free
 # determinism — same function implemented as a Spark-free numpy mix)
