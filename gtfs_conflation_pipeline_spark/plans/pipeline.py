@@ -63,7 +63,8 @@ def run_pipeline(
     partitions: int | None = None,
     verbose: bool = False,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full pipeline; returns every stage's DataFrame."""
+    """Run (or resume) the full pipeline over the synthetic image fixture;
+    returns every stage's DataFrame."""
     ckpt = CheckpointManager(ckpt_dir, verbose=verbose)
     out: dict[str, DataFrame] = {}
 
@@ -78,6 +79,24 @@ def run_pipeline(
         lambda: FX.osm_segments_table(spark, n_images, partitions=partitions),
     )
     raw = FX.raw_tables(spark, out["images"])
+    out.update(run_from_raw(spark, raw, out["osm_segments"], ckpt))
+    return out
+
+
+def run_from_raw(
+    spark: SparkSession,
+    raw: dict[str, DataFrame],
+    osm_segments: DataFrame,
+    ckpt: CheckpointManager,
+    upto: str | None = None,
+) -> dict[str, DataFrame]:
+    """Stages 2-9 over ANY raw GTFS tables + OSM segment table — the entry
+    point a user of the reference CLI migrates to (cli.py wraps this).
+    `upto` names a stage after which to stop (per-stage CLI semantics)."""
+    out: dict[str, DataFrame] = {"osm_segments": osm_segments}
+
+    def done(stage: str) -> bool:
+        return upto is not None and stage == upto
 
     out["geo_shapes"] = ckpt.run_stage(
         spark,
@@ -89,6 +108,8 @@ def run_pipeline(
     out["geo_stops"] = ckpt.run_stage(
         spark, "geo_stops", lambda: raw["stops"], rows_in_from="images"
     )
+    if done("geo_stops"):
+        return out
 
     def _net() -> DataFrame:
         sws = snap.shapes_with_stop_sequences(
@@ -99,6 +120,8 @@ def run_pipeline(
     out["net_segments"] = ckpt.run_stage(
         spark, "net_segments", _net, rows_in_from="geo_shapes"
     )
+    if done("net_segments"):
+        return out
 
     def _matches() -> DataFrame:
         return spatial_join.conflation_join(
@@ -124,6 +147,8 @@ def run_pipeline(
         cell_col="tile_id",
         rows_in_from="matches",
     )
+    if done("tiles"):
+        return out
 
     out["match_scores"] = ckpt.run_stage(
         spark,
@@ -133,6 +158,8 @@ def run_pipeline(
         ),
         rows_in_from="matches",
     )
+    if done("match_scores"):
+        return out
 
     # schedule side (reference stages 5 + 8)
     out["service_dates"] = ckpt.run_stage(
@@ -147,6 +174,8 @@ def run_pipeline(
             raw["trips"], raw["stop_times"], out["net_segments"]
         ),
     )
+    if done("scheduled_traffic"):
+        return out
     out["probe_data"] = ckpt.run_stage(
         spark,
         "probe_data",
