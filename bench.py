@@ -119,7 +119,9 @@ def flagship_subprocess(cores: int, n_images: int) -> dict:
     """Fresh-JVM flagship run at a given parallelism (scaling evidence).
     Setup checkpoints are shared across core counts — the fixture is
     deterministic, and only the timed region reruns per parallelism."""
-    work = f"/tmp/spark_graft_bench_scale_n{n_images}"
+    from gtfs_conflation_pipeline_spark import __version__
+
+    work = f"/tmp/spark_graft_bench_scale_{__version__}_n{n_images}"
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),

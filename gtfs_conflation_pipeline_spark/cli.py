@@ -69,13 +69,33 @@ def _raw_dir(work_dir: str) -> str:
     return f"{work_dir}/raw"
 
 
+OPTIONAL_DEFAULTS = {
+    # GTFS-optional members: absent files degrade to empty/neutral tables so
+    # the schedule stages run instead of crashing (calendar-less feeds
+    # simply produce empty service_dates)
+    "calendar": (
+        "service_id string, monday int, tuesday int, wednesday int,"
+        " thursday int, friday int, saturday int, sunday int,"
+        " start_date string, end_date string"
+    ),
+    "calendar_dates": "service_id string, date string, exception_type int",
+    "feed_info": (
+        "feed_publisher_name string, feed_start_date string, feed_end_date string"
+    ),
+}
+
+
 def _load_raw(spark: SparkSession, work_dir: str) -> dict:
     raw = {}
     for t in RAW_TABLES:
         try:
             raw[t] = spark.read.parquet(f"{_raw_dir(work_dir)}/{t}.parquet")
         except Exception:  # optional members may be absent from the feed
-            pass
+            if t in OPTIONAL_DEFAULTS:
+                rows = (
+                    [("unknown", "19700101", "19700108")] if t == "feed_info" else []
+                )
+                raw[t] = spark.createDataFrame(rows, OPTIONAL_DEFAULTS[t])
     return raw
 
 

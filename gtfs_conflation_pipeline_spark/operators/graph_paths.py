@@ -203,11 +203,20 @@ def merge_by_metadata(a: Path, b: Path) -> Path | None:
         if amid[-k:] == bmid[:k]:
             if set(amid[:-k]) & set(bmid[k:]):
                 return None
-            # geometric stitch: a up to overlap end, then b's remainder
-            return Path(amid + bmid[k:], a.xs, a.ys) if k == len(bmid) else Path(
+            if k == len(bmid):  # b fully contained in a's suffix
+                return Path(amid, a.xs, a.ys)
+            # geometric stitch: the overlapping edges share EXACT coords, so
+            # a's last vertex appears in b; append b's remainder beyond it
+            hits = np.where(
+                (np.abs(b.xs - a.xs[-1]) < 1e-12) & (np.abs(b.ys - a.ys[-1]) < 1e-12)
+            )[0]
+            if hits.size == 0:
+                return None  # geometry disagrees with metadata — refuse merge
+            j = int(hits[0])
+            return Path(
                 amid + bmid[k:],
-                np.concatenate([a.xs, b.xs[-1:]]),
-                np.concatenate([a.ys, b.ys[-1:]]),
+                np.concatenate([a.xs, b.xs[j + 1 :]]),
+                np.concatenate([a.ys, b.ys[j + 1 :]]),
             )
     return None
 

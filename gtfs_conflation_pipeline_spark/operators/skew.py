@@ -39,7 +39,13 @@ def salted_join(
     salt_cols: list[str] | None = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-safe equi-join on `key`. Result rows == plain join rows."""
+    """Skew-safe equi-join on `key`. Result rows == plain join rows.
+
+    Supported join types: inner, left (and their aliases). right/full would
+    emit one null-padded row PER SALT REPLICA for unmatched hot right rows;
+    salt the other side instead."""
+    if how.replace("_outer", "").replace("outer", "left") not in ("inner", "left", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     hot = F.broadcast(
         hot_keys(left, key, hot_threshold).withColumn("_hot", F.lit(True))
     )

@@ -186,7 +186,7 @@ def run_from_raw(
         spark,
         "traffic_by_route",
         lambda: schedule.traffic_by_route(
-            out["probe_data"], raw["trips"], out["service_dates"], raw["feed_info"]
+            out["probe_data"], raw["routes"], out["service_dates"], raw["feed_info"]
         ),
         rows_in_from="probe_data",
     )

@@ -120,11 +120,22 @@ def scheduled_traffic(
         F.col("to_stop_id").alias("next_stop_id"),
         (F.col("shape_index") + 1).alias("arvl_seg_idx"),
     )
-    return (
+    joined = (
         spans.join(t, "trip_id")
         .join(seg_from, ["shape_id", "stop_id"])
         .join(seg_to, ["shape_id", "next_stop_id"])
         .filter(F.col("arvl_seg_idx") > F.col("dptr_seg_idx"))
+    )
+    # loop shapes: a stop occurring twice yields multiple (dptr, arvl)
+    # candidates per span; keep the FIRST occurrence (tightest earliest
+    # span) — the reference's per-stop FIFO consumes occurrences in order
+    # (TripTracker.js:70-289)
+    w_span = Window.partitionBy("trip_id", "stop_sequence").orderBy(
+        "dptr_seg_idx", "arvl_seg_idx"
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w_span))
+        .filter(F.col("_rn") == 1)
         .select(
             "trip_id",
             "route_id",
@@ -242,18 +253,25 @@ def feed_weeks(feed_info: DataFrame) -> DataFrame:
 
 def traffic_by_route(
     probes: DataFrame,
-    trips: DataFrame,
+    routes: DataFrame,
     svc_dates: DataFrame,
     feed_info: DataFrame,
 ) -> DataFrame:
     """AVG travel time + weekly-normalized trip count per
-    (segment, route, dow, epoch) — createTableFns.js:51-78."""
-    svc_dow = svc_dates.select("service_id", "dow").distinct()
+    (segment, route, dow, epoch) — createTableFns.js:22-79.
+
+    Reference semantics: probes join service_dates PER DATE (each scheduled
+    run is replicated across every active service date, so a Monday-only
+    service over a 4-week feed contributes 4 rows) and the count is divided
+    by the feed extent in weeks; routes joins in route_short_name."""
+    per_date = svc_dates.select("service_id", "date", "dow")
     weeks = feed_weeks(feed_info)
+    route_dim = F.broadcast(routes.select("route_id", "route_short_name"))
     return (
-        probes.join(svc_dow, "service_id")
+        probes.join(per_date, "service_id")
+        .join(route_dim, "route_id")
         .crossJoin(F.broadcast(weeks))
-        .groupBy("segment_id", "shst_reference", "route_id", "dow", "epoch")
+        .groupBy("segment_id", "shst_reference", "route_short_name", "dow", "epoch")
         .agg(
             F.round(F.avg("travel_time_sec"), 3).alias("avg_tt_sec"),
             F.round(F.count(F.lit(1)) / F.max("feed_num_weeks"), 1).alias(
@@ -276,33 +294,54 @@ def traffic_overall(by_route: DataFrame) -> DataFrame:
     )
 
 
+PEAK_CLASSES = ["AMP", "MIDD", "PMP", "WE", "OVN"]
+
+
+def peak_class():
+    """The reference's peak CASE (createTableFns.js:121-137): day window
+    6-20h on weekdays splits AMP 6-10h / MIDD 10-16h / PMP 16-20h; weekend
+    day hours are WE; everything outside 6-20h is OVN."""
+    e = F.col("epoch")
+    weekday = F.col("dow").between(1, 5)
+    day = e.between(6 * 12, 20 * 12 - 1)
+    return (
+        F.when(
+            day & weekday,
+            F.when(e.between(6 * 12, 10 * 12 - 1), F.lit("AMP"))
+            .when(e.between(10 * 12, 16 * 12 - 1), F.lit("MIDD"))
+            .otherwise(F.lit("PMP")),
+        )
+        .when(day, F.lit("WE"))
+        .otherwise(F.lit("OVN"))
+    )
+
+
 def aadt_breakdown(by_route: DataFrame) -> DataFrame:
-    """Three-grain AADT rollup re-joined into one wide row per segment with
-    the peak-period CASE (AM 6-10h = epochs 72-119, PM 15-19h = 180-239;
-    createTableFns.js:121-143)."""
-    peak = (
-        F.when((F.col("epoch") >= 72) & (F.col("epoch") < 120), F.lit("am"))
-        .when((F.col("epoch") >= 180) & (F.col("epoch") < 240), F.lit("pm"))
-        .otherwise(F.lit("off"))
+    """AADT rollup per segment with the reference's peak classes
+    (createTableFns.js:108-201): per (segment, peak, route) aadt =
+    round(sum(avg_weekly_count)/7); wide row = total + per-peak pivot +
+    route count (the reference's JSON pivots as typed columns)."""
+    grain = (
+        by_route.withColumn("peak", peak_class())
+        .groupBy("segment_id", "peak", "route_short_name")
+        .agg(F.round(F.sum("avg_weekly_count") / 7.0).alias("aadt"))
     )
-    with_peak = by_route.withColumn("peak", peak)
-    total = with_peak.groupBy("segment_id").agg(
-        F.round(F.sum("avg_weekly_count") / 7.0, 1).alias("aadt")
-    )
+    total = grain.groupBy("segment_id").agg(F.sum("aadt").alias("aadt"))
     by_peak = (
-        with_peak.groupBy("segment_id", "peak")
-        .agg(F.round(F.sum("avg_weekly_count") / 7.0, 1).alias("c"))
+        grain.groupBy("segment_id", "peak")
+        .agg(F.sum("aadt").alias("c"))
         .groupBy("segment_id")
-        .pivot("peak", ["am", "pm", "off"])
+        .pivot("peak", PEAK_CLASSES)
         .agg(F.first("c"))
         .select(
             "segment_id",
-            F.coalesce("am", F.lit(0.0)).alias("aadt_am"),
-            F.coalesce("pm", F.lit(0.0)).alias("aadt_pm"),
-            F.coalesce("off", F.lit(0.0)).alias("aadt_off"),
+            *[
+                F.coalesce(p, F.lit(0.0)).alias(f"aadt_{p.lower()}")
+                for p in PEAK_CLASSES
+            ],
         )
     )
-    n_routes = with_peak.groupBy("segment_id").agg(
-        F.count_distinct("route_id").alias("n_routes")
+    n_routes = grain.groupBy("segment_id").agg(
+        F.count_distinct("route_short_name").alias("n_routes")
     )
     return total.join(by_peak, "segment_id").join(n_routes, "segment_id")

@@ -45,9 +45,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch twin: session = maximal run of a user's events with inter-event
     gap <= gap_minutes (lag + cumulative session index)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gaps (unix_micros), matching the streaming twin —
+    # whole-second casts would merge sessions whose gap exceeds the limit
+    # by a sub-second amount
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     with_break = events.withColumn(
-        "brk", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+        "brk",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
     )
     with_sess = with_break.withColumn(
         "sess",
@@ -77,11 +82,12 @@ def sessionize_stream(
     a drain finishes remain in state (flushed by the next trigger).
 
     ORDERED-ARRIVAL CONTRACT: like any processing-time sessionizer, this
-    requires per-key arrival in event-time order across micro-batches (for
-    file sources: time-range-partitioned files, which arrive in path order;
-    for Kafka: per-key partition ordering). An out-of-order-robust variant
-    would buffer events in state under an event-time watermark before
-    emitting — heavier state, same output schema."""
+    requires per-key arrival in event-time order across micro-batches. NOTE
+    Spark's file source orders files by MODIFICATION TIME (not path), so a
+    file-backed stream must write its time-range chunks with increasing
+    mtimes; Kafka needs per-key partition ordering. An out-of-order-robust
+    variant would buffer events in state under an event-time watermark
+    before emitting — heavier state, same output schema."""
 
     gap_us = gap_minutes * 60 * 1_000_000
 

@@ -66,11 +66,24 @@ def test_merge_geospatial_gap_tolerance():
 
 
 def test_merge_by_metadata_overlap():
+    # overlapping match edges share EXACT coordinates: b passes through a's
+    # last vertex (-73.99); the stitch must keep b's interior vertices
     a = G.Path((1, 2, 3), *seg(-74.0, -73.99))
-    b = G.Path((2, 3, 4), *seg(-73.995, -73.985))
+    b = G.Path(
+        (2, 3, 4),
+        np.array([-73.995, -73.99, -73.988, -73.986, -73.985]),
+        np.array([42.0, 42.0, 42.0005, 42.0, 42.0]),
+    )
     m = G.merge_by_metadata(a, b)
     assert m is not None and m.match_ids == (1, 2, 3, 4)
-    # no overlap -> no merge
+    # b's remainder geometry (beyond a's end) is preserved, incl. the
+    # off-axis interior vertex at -73.988
+    assert -73.988 in set(np.round(m.xs, 6))
+    assert m.xs[-1] == -73.985
+    # metadata overlap but geometrically disjoint -> merge refused
+    b_far = G.Path((2, 3, 4), *seg(-73.95, -73.94))
+    assert G.merge_by_metadata(a, b_far) is None
+    # no id overlap -> no merge
     assert G.merge_by_metadata(a, G.Path((7, 8), *seg(-73.98, -73.97))) is None
 
 

@@ -77,8 +77,25 @@ def test_probe_epochs_valid(pipe):
 def test_aadt_grains_reconcile(pipe):
     a = pipe["aadt"].toPandas()
     assert len(a) > 0
-    assert (abs(a.aadt - (a.aadt_am + a.aadt_pm + a.aadt_off)) < 0.5).all()
+    peaks = a.aadt_amp + a.aadt_midd + a.aadt_pmp + a.aadt_we + a.aadt_ovn
+    assert (abs(a.aadt - peaks) < 1e-9).all()
     assert (a.n_routes >= 1).all()
+    # fixture trips run 06:00-09:25: weekday probes land in AMP, weekend in WE
+    assert (a.aadt_amp + a.aadt_we > 0).any()
+    assert (a.aadt_midd == 0).all() and (a.aadt_ovn == 0).all()
+
+
+def test_weekly_count_reference_semantics(pipe):
+    """Reference: count is per service DATE / feed weeks — the removed
+    Monday exception (2024-01-15) must make Monday's weekly count smaller
+    than Tuesday's for the weekday service (createTableFns.js:22-79)."""
+    br = pipe["traffic_by_route"].toPandas()
+    mon = br[br.dow == 1].avg_weekly_count
+    tue = br[br.dow == 2].avg_weekly_count
+    assert len(mon) and len(tue)
+    # 3 active Mondays vs 4 Tuesdays over a 3.857-week feed
+    assert mon.max() < tue.max()
+    assert tue.max() == pytest.approx(4 / (27 / 7.0), abs=0.06)
 
 
 def test_traffic_weighted_avg_bounds(pipe):

@@ -21,10 +21,24 @@ def test_stream_sessions_match_batch_closed_sessions(spark, tmp_path):
         "user_id", "ts"
     )
     src = str(tmp_path / "src")
-    # ordered-arrival contract: file streams process files in path order, so
-    # range-partitioning by ts makes part-0000k arrive in time order (the
-    # processing-time sessionizer requires per-key time-ordered arrival)
-    events.repartitionByRange(5, "ts").sortWithinPartitions("ts").write.parquet(src)
+    # ordered-arrival contract: Spark's file source orders files by
+    # MODIFICATION TIME, so each time-range chunk is written sequentially
+    # (strictly increasing mtimes) to guarantee time-ordered arrival (the
+    # processing-time sessionizer's documented requirement)
+    import time as _time
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W2
+
+    n = events.count()
+    per = n // 5 + 1
+    ranked = events.withColumn("_rk", F2.row_number().over(W2.orderBy("ts")))
+    for k in range(5):
+        chunk = ranked.filter(
+            (F2.col("_rk") > k * per) & (F2.col("_rk") <= (k + 1) * per)
+        ).drop("_rk")
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct whole-second mtimes
     from pyspark.sql import functions as F
 
     batch = sessionize_batch(
