@@ -454,9 +454,17 @@ def fit_stops_to_path(stop_x, stop_y, xs, ys):
         end = int(np.argmin(cost))
         choice = np.empty(n_stops, dtype=np.int64)
         choice[-1] = end
+        feasible = np.isfinite(cost[end])
         for s in range(n_stops - 1, 0, -1):
-            choice[s - 1] = back[s][choice[s]]
-        if choice[0] < 0:  # no feasible monotone path — fall back to greedy
+            prev = back[s][choice[s]]
+            if prev < 0:
+                # mid-chain dead end: a -1 back-pointer would wrap via
+                # Python negative indexing and return a corrupted
+                # (non-monotone) assignment — bail to greedy instead
+                feasible = False
+                break
+            choice[s - 1] = prev
+        if not feasible:  # no feasible monotone path — fall back to greedy
             choice = order
     kxy = rows
     return {

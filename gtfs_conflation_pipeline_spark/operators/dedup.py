@@ -2,31 +2,51 @@
 
 Exact, n-gram Jaccard, MinHash+LSH, SimHash, and phash-Hamming near-dup over
 binary payload tables. Spark-first: shingling/banding are JVM-side array
-expressions; only nothing runs in Python.
+expressions; nothing runs in Python.
 
 Scale notes (the point of each design):
 - exact_duplicates: one shuffle on the content hash.
 - ngram Jaccard: |shingle| x doc explode, self-join on shingle, pair-count
   agg -> Jaccard. Hot shingles are the skew hazard; `max_shingle_freq`
   drops shingles occurring in more than N docs (standard df-cut), which
-  bounds the pair blowup at web scale.
+  bounds the pair blowup at web scale. Above `auto_df_cut_min_docs`
+  documents the cut engages AUTOMATICALLY (no silent quadratic blowup at
+  100 TB), and the dropped-shingle count is logged + recorded in
+  `LAST_METRICS` so the cap is never silent.
 - MinHash LSH: per-doc signature (k hashes over shingle set, JVM-side
   aggregate), banded into b buckets; candidates = equi-join on
-  (band, band_hash) -> exact-verify. Join key count per doc = b,
-  independent of document length — the 100 TB-safe path.
-- SimHash: 64-bit sign-aggregate of word hashes; near-dups = hamming <= t
-  via bit_count(xor). Bucketed by 16-bit chunks (pigeonhole) to avoid the
-  quadratic scan.
+  (band, band_hash). Verification computes Jaccard for the CANDIDATE PAIRS
+  ONLY (array_intersect on the two docs' shingle sets) — never the full
+  all-pairs exact join, which is the quadratic job LSH exists to avoid.
+  Join key count per doc = b, independent of document length.
+- SimHash / phash: pigeonhole-bucketed Hamming join via the shared
+  `hamming_near_pairs` — the hash is split into `max_hamming + 1` disjoint
+  chunks, so any pair within the Hamming budget matches exactly on at
+  least one chunk (pigeonhole guarantee; fewer chunks silently lose
+  recall). Verify with bit_count(xor).
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import word_hash, words
 
+log = logging.getLogger(__name__)
+
 P64 = (1 << 61) - 1  # Mersenne prime for the hash family
+
+# Web-scale guardrail defaults: above this many documents the n-gram
+# self-join applies a df-cut automatically (a shingle shared by >1% of a
+# 100k+ corpus contributes >~500k^2 pair rows — always a stopword artifact).
+AUTO_DF_CUT_MIN_DOCS = 100_000
+AUTO_MAX_SHINGLE_FREQ = 1_000
+
+# Last-run observability for the auto guards (keyed per operator).
+LAST_METRICS: dict[str, dict] = {}
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,6 +74,44 @@ def shingles(text, n: int = 3):
     )
 
 
+def _apply_df_cut(
+    sh: DataFrame,
+    df: DataFrame,
+    max_shingle_freq: int | None,
+    auto_df_cut_min_docs: int,
+    metrics_key: str,
+) -> DataFrame:
+    """Shared df-cut: drop shingles occurring in more than `max_shingle_freq`
+    docs. When `max_shingle_freq` is None the cut auto-engages past
+    `auto_df_cut_min_docs` documents (default-on skew guard at scale). The
+    dropped-shingle count is logged and recorded in LAST_METRICS — never a
+    silent cap."""
+    if max_shingle_freq is None:
+        n_docs = df.count()
+        if n_docs <= auto_df_cut_min_docs:
+            LAST_METRICS[metrics_key] = {
+                "df_cut": None, "n_docs": n_docs, "dropped_shingles": 0
+            }
+            return sh
+        max_shingle_freq = AUTO_MAX_SHINGLE_FREQ
+        log.info(
+            "%s: auto df-cut engaged (%d docs > %d): max_shingle_freq=%d",
+            metrics_key, n_docs, auto_df_cut_min_docs, max_shingle_freq,
+        )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    dropped = freq.filter(F.col("df_") > max_shingle_freq).count()
+    LAST_METRICS[metrics_key] = {
+        "df_cut": max_shingle_freq,
+        "dropped_shingles": dropped,
+    }
+    if dropped:
+        log.info(
+            "%s: df-cut dropped %d shingles with df > %d",
+            metrics_key, dropped, max_shingle_freq,
+        )
+    return sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_freq)), "sh")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -62,20 +120,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     salt_hot_shingles: int | None = None,
+    auto_df_cut_min_docs: int = AUTO_DF_CUT_MIN_DOCS,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
     Skew guards for web scale: df-cut (`max_shingle_freq`) drops ubiquitous
-    shingles before the self-join; `salt_hot_shingles` additionally routes
-    the self-join through the explicit salted join (operators.skew) with
-    that salt factor — for shingles that are hot but below the df-cut.
+    shingles before the self-join — auto-engaged above
+    `auto_df_cut_min_docs` documents (see `_apply_df_cut`); `salt_hot_shingles`
+    additionally routes the self-join through the explicit salted join
+    (operators.skew) with that salt factor — for shingles that are hot but
+    below the df-cut.
     """
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_freq)), "sh")
+    sh = _apply_df_cut(sh, df, max_shingle_freq, auto_df_cut_min_docs, "ngram_jaccard")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
@@ -138,12 +197,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs, exact-verified with true Jaccard.
+    """MinHash-LSH candidate pairs, exact-verified with true Jaccard —
+    computed for CANDIDATES ONLY.
 
     bands x rows layout (k = bands*rows): docs sharing any band bucket are
-    candidates; candidates are then verified with the exact n-gram Jaccard,
-    so false positives vanish and only LSH misses can differ from the exact
-    operator (probabilistic recall — tune bands/k).
+    candidates. Each candidate pair is then joined back to the two docs'
+    distinct shingle sets and verified with
+    |intersect| / |union| (JVM array HOFs), so false positives vanish and
+    only LSH misses can differ from the exact operator (probabilistic
+    recall — tune bands/k).
+
+    Scale shape: the verify step costs O(candidates x doc_len) — two
+    equi-joins on doc id plus an array_intersect per candidate — NOT the
+    all-pairs shingle self-join of `ngram_jaccard_pairs`. That keeps the
+    whole operator sub-quadratic at 100 TB, which is the point of LSH.
     """
     rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n=n, k=k)
@@ -165,15 +232,34 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    doc_sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shs")
+    )
+    verified = (
+        cands.join(doc_sh.select(F.col("doc").alias("id_a"), F.col("shs").alias("sa")), "id_a")
+        .join(doc_sh.select(F.col("doc").alias("id_b"), F.col("shs").alias("sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc from word hashes, JVM-side.
+SIMHASH_BITS = 48
+
+
+def simhash48(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """48-bit SimHash per doc from word hashes (word_hash is md5-48), fully
+    JVM-side.
 
     bit_j(simhash) = majority sign of bit_j over the doc's word hashes.
-    Computed via aggregate over 64 bit-count sums expressed as a single
+    Computed via aggregate over 48 bit-count sums expressed as a single
     array expression (no Python).
     """
     wh = F.transform(words(F.col(text_col)), lambda w: word_hash(w))
@@ -186,7 +272,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return fold
 
     sim = F.lit(0).cast("long")
-    for j in range(48):
+    for j in range(SIMHASH_BITS):
         bit_j = (
             (F.aggregate(wh, F.lit(0).cast("long"), _vote(j)) * 2) > n
         ).cast("long")
@@ -194,55 +280,59 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+# Backwards-compat alias (round-1 name; the hash was always 48 bits).
+simhash64 = simhash48
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    max_hamming: int,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, pigeonhole-bucketed:
-    split the 48-bit hash into 4 x 12-bit chunks; any pair within
-    max_hamming<=3-per-chunk shares at least one exact chunk -> equi-join per
-    chunk, then verify hamming via bit_count(xor)."""
-    sigs = simhash64(df, id_col, text_col)
-    chunks = sigs.select(
-        "doc",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 12 * c).bitwiseAND((1 << 12) - 1)
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    pairs = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk_idx", "chunk"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("id_a"),
-            F.col("y.doc").alias("id_b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+    """Generic pigeonhole-bucketed Hamming-distance self-join.
+
+    Splits the `n_bits`-bit hash into `n_chunks` disjoint chunks
+    (default — and minimum for exact recall — `max_hamming + 1`): a pair
+    within Hamming distance `max_hamming` has fewer differing bits than
+    chunks, so by pigeonhole at least one chunk matches EXACTLY ->
+    equi-join on (chunk_idx, chunk) finds every such pair; verify with
+    bit_count(xor). Guaranteed recall = 1 (tested vs the brute-force
+    all-pairs oracle on adversarial fixtures with the budget's differing
+    bits spread across every chunk).
+
+    Scale tradeoff (explicit, not silent): more chunks -> narrower chunks ->
+    fewer distinct bucket values (2^(n_bits/n_chunks)) -> hotter buckets.
+    At very large N prefer a larger hash (wider chunks at the same
+    max_hamming) or the salted join from operators.skew on the chunk key;
+    never fewer than max_hamming+1 chunks — that silently loses recall.
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: "
+            "pigeonhole recall guarantee broken"
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    return pairs.select("id_a", "id_b", "hamming")
-
-
-def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Perceptual-hash near-duplicate image pairs (binary-payload analog of
-    simhash_near_pairs): pigeonhole on 16-bit phash chunks, verify with
-    bit_count(xor). Input: the input_hint images table (image_id, phash)."""
-    chunks = images.select(
-        "image_id",
-        "phash",
+    if n_chunks > n_bits:
+        raise ValueError(f"n_chunks={n_chunks} > n_bits={n_bits}")
+    base, rem = divmod(n_bits, n_chunks)
+    widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    chunks = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("phash", 16 * c).bitwiseAND((1 << 16) - 1)
-                    for c in range(4)
+                    # unsigned shift: a 64-bit hash with the sign bit set must
+                    # not smear 1s into the top chunk
+                    F.shiftrightunsigned(hash_col, offsets[c]).bitwiseAND(
+                        (1 << widths[c]) - 1
+                    )
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -250,15 +340,37 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
     return (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk_idx", "chunk"])
-        .filter(F.col("x.image_id") < F.col("y.image_id"))
+        .filter(F.col("x._id") < F.col("y._id"))
         .select(
-            F.col("x.image_id").alias("id_a"),
-            F.col("y.image_id").alias("id_b"),
-            F.col("x.phash").alias("pa"),
-            F.col("y.phash").alias("pb"),
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._h").alias("ha"),
+            F.col("y._h").alias("hb"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance over the 48-bit simhash,
+    pigeonhole-bucketed with max_hamming+1 chunks (exact recall — see
+    hamming_near_pairs)."""
+    sigs = simhash48(df, id_col, text_col)
+    return hamming_near_pairs(
+        sigs, "doc", "simhash", n_bits=SIMHASH_BITS, max_hamming=max_hamming
+    )
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs (binary-payload analog of
+    simhash_near_pairs): pigeonhole on max_hamming+1 chunks of the 64-bit
+    phash (exact recall), verify with bit_count(xor). Input: the input_hint
+    images table (image_id, phash)."""
+    return hamming_near_pairs(
+        images, "image_id", "phash", n_bits=64, max_hamming=max_hamming
     )

@@ -30,6 +30,38 @@ def _norm(a):
     )
 
 
+def _cosine_rerank(
+    cands: DataFrame,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    k: int,
+    round_dp: int = 4,
+    dedup: bool = False,
+) -> DataFrame:
+    """Shared exact-cosine re-rank of a candidate pair frame: score with JVM
+    HOF dot products, keep the per-query top-k (deterministic tie-break on
+    candidate id). The only shuffle is the per-query top-k window (tiny)."""
+    scored = cands.select(
+        q_id,
+        c_id,
+        F.round(
+            _dot(F.col(q_vec), F.col(c_vec))
+            / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+            round_dp,
+        ).alias("cosine"),
+    )
+    if dedup:
+        scored = scored.dropDuplicates([q_id, c_id])
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine", "rank")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -47,21 +79,7 @@ def cosine_topk(
     pairs = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col(q_id) != F.col(c_id)
     )
-    scored = pairs.select(
-        q_id,
-        c_id,
-        F.round(
-            _dot(F.col(q_vec), F.col(c_vec))
-            / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
-            round_dp,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "cosine", "rank")
-    )
+    return _cosine_rerank(pairs, q_id, c_id, q_vec, c_vec, k, round_dp)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -165,21 +183,7 @@ def ivf_ann_topk(
     cands = c_assigned.join(F.broadcast(q_assigned), "centroid_id").filter(
         F.col(q_id) != F.col(c_id)
     )
-    scored = cands.select(
-        q_id,
-        c_id,
-        F.round(
-            _dot(F.col(q_vec), F.col(c_vec))
-            / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
-            4,
-        ).alias("cosine"),
-    ).dropDuplicates([q_id, c_id])
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "cosine", "rank")
-    )
+    return _cosine_rerank(cands, q_id, c_id, q_vec, c_vec, k, dedup=True)
 
 
 def lsh_ann_topk(
@@ -194,32 +198,37 @@ def lsh_ann_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH bucket join, then exact cosine re-rank
-    within candidates whose signature hamming <= probe_hamming.
+    """Approximate top-k: sign-LSH bucketed multi-probe equi-join, then
+    exact cosine re-rank within candidates whose signature hamming <=
+    probe_hamming.
 
-    At scale the corpus is scanned once to materialize (signature, vec) and
-    all probing is an equi-join on a single long key per multi-probe offset
-    — candidate count per query is O(bucket size), not O(N).
+    Multi-probe: each query signature is expanded query-side into every
+    signature within Hamming distance `probe_hamming` (xor with all
+    sum_{i<=t} C(n_planes, i) bit-flip masks — 79 probes for 12 planes,
+    t=2), and the corpus joins on `sig` EQUALITY. The corpus is scanned
+    once to materialize (signature, vec); candidates per query are
+    O(probes x bucket size), not O(N) — no crossJoin, no full-corpus
+    Hamming scan. Semantically identical to filtering all pairs on
+    hamming <= probe_hamming (the masks enumerate exactly that ball);
+    asserted in tests against the brute-force sibling.
     """
+    from itertools import combinations
+
     planes = _hyperplanes(dim, n_planes)
     csig = corpus.withColumn("sig", signature_bits(F.col(c_vec), planes))
     qsig = queries.withColumn("qsig", signature_bits(F.col(q_vec), planes))
-    cands = csig.crossJoin(F.broadcast(qsig)).filter(
-        (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming)
-        & (F.col(q_id) != F.col(c_id))
-    )
-    scored = cands.select(
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_hamming + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+    qprobes = qsig.select(
         q_id,
-        c_id,
-        F.round(
-            _dot(F.col(q_vec), F.col(c_vec))
-            / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
-            4,
-        ).alias("cosine"),
+        q_vec,
+        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_mask"),
+        "qsig",
+    ).withColumn("sig", F.col("qsig").bitwiseXOR(F.col("_mask")))
+    cands = csig.join(F.broadcast(qprobes), "sig").filter(
+        F.col(q_id) != F.col(c_id)
     )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "cosine", "rank")
-    )
+    return _cosine_rerank(cands, q_id, c_id, q_vec, c_vec, k)

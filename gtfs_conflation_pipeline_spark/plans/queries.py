@@ -862,7 +862,7 @@ def q_fingerprint(spark, sf):
 
 SQL_FINGERPRINT = """
 SELECT doc_id,
-       sum((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) * pos)
+       (sum((('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) * pos))::BIGINT
            AS fingerprint
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
              generate_subscripts(string_split(text, ' '), 1) AS pos

@@ -30,8 +30,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# networklevel -> assumed speed mph (reference loaders.js:58-67)
-SPEED_BY_NETWORKLEVEL = {0: 65, 1: 55, 2: 45, 3: 35, 4: 30, 5: 25, 6: 20}
+# networklevel -> avg posted speed mph — the reference's
+# networklevelAvgPostedSpeedlimt table (loaders.js:58-67); levels >= 8 and
+# missing levels fall back to the reference's `|| 30` default.
+SPEED_BY_NETWORKLEVEL = {
+    0: 57.5, 1: 44.9, 2: 41.6, 3: 41.7, 4: 39.5, 5: 33.5, 6: 40.8, 7: 31.9
+}
+DEFAULT_SPEED_MPH = 30.0
 
 DOW_COLS = ["sunday", "monday", "tuesday", "wednesday", "thursday", "friday", "saturday"]
 
@@ -109,27 +114,37 @@ def scheduled_traffic(
         )
         .filter(F.col("next_stop_id").isNotNull())
     )
+    # loop shapes: the reference's per-stop FIFO (TripTracker.js:70-289)
+    # consumes repeated stop occurrences IN ORDER — a trip's Nth visit of a
+    # stop maps to the shape's Nth segment occurrence of that stop, so rank
+    # both sides by visit/occurrence number and join on it.
+    w_visit_from = Window.partitionBy("trip_id", "stop_id").orderBy("stop_sequence")
+    w_visit_to = Window.partitionBy("trip_id", "next_stop_id").orderBy("stop_sequence")
+    spans = spans.withColumn("from_visit", F.row_number().over(w_visit_from)).withColumn(
+        "to_visit", F.row_number().over(w_visit_to)
+    )
     t = trips.select("trip_id", "route_id", "service_id", "shape_id")
+    w_occ_from = Window.partitionBy("shape_id", "from_stop_id").orderBy("shape_index")
+    w_occ_to = Window.partitionBy("shape_id", "to_stop_id").orderBy("shape_index")
     seg_from = net_segments.select(
         "shape_id",
         F.col("from_stop_id").alias("stop_id"),
         F.col("shape_index").alias("dptr_seg_idx"),
+        F.row_number().over(w_occ_from).alias("from_visit"),
     )
     seg_to = net_segments.select(
         "shape_id",
         F.col("to_stop_id").alias("next_stop_id"),
         (F.col("shape_index") + 1).alias("arvl_seg_idx"),
+        F.row_number().over(w_occ_to).alias("to_visit"),
     )
     joined = (
         spans.join(t, "trip_id")
-        .join(seg_from, ["shape_id", "stop_id"])
-        .join(seg_to, ["shape_id", "next_stop_id"])
+        .join(seg_from, ["shape_id", "stop_id", "from_visit"])
+        .join(seg_to, ["shape_id", "next_stop_id", "to_visit"])
         .filter(F.col("arvl_seg_idx") > F.col("dptr_seg_idx"))
     )
-    # loop shapes: a stop occurring twice yields multiple (dptr, arvl)
-    # candidates per span; keep the FIRST occurrence (tightest earliest
-    # span) — the reference's per-stop FIFO consumes occurrences in order
-    # (TripTracker.js:70-289)
+    # safety dedupe (visit-matched joins are 1:1; keep deterministic anyway)
     w_span = Window.partitionBy("trip_id", "stop_sequence").orderBy(
         "dptr_seg_idx", "arvl_seg_idx"
     )
@@ -172,7 +187,11 @@ def probe_data(traffic: DataFrame, matches: DataFrame) -> DataFrame:
         "shst_reference",
         "along_idx",
         (
-            F.col("intxn_len_km") / speed_map[F.col("networklevel")].cast("double")
+            F.col("intxn_len_km")
+            / F.coalesce(
+                speed_map[F.col("networklevel")].cast("double"),
+                F.lit(DEFAULT_SPEED_MPH),
+            )
         ).alias("weight"),
     )
     joined = traffic.join(m, "shape_id").filter(
@@ -226,15 +245,34 @@ def probe_data(traffic: DataFrame, matches: DataFrame) -> DataFrame:
         F.col("total_w") > 0, F.col("r.w_before") / F.col("total_w")
     ).otherwise(0.0)
     seg_dptr = F.col("dptr_time_sec") + start_frac * F.col("span_tt")
-    return out.select(
+    per_seg = out.select(
         "trip_id",
         "route_id",
         "service_id",
         seg["segment_id"].alias("segment_id"),
         seg["shst_reference"].alias("shst_reference"),
-        F.round(seg_dptr).cast("long").alias("seg_dptr_sec"),
-        F.round(frac * F.col("span_tt"), 3).alias("travel_time_sec"),
+        seg_dptr.alias("_seg_dptr"),
+        (frac * F.col("span_tt")).alias("_tt"),
         F.floor(seg_dptr / 300).cast("int").alias("epoch"),
+    )
+    # Reference grain: PK (conflation_map_id, trip_id, epoch) on
+    # gtfs_synthetic_probe_data — a segment matched by two adjacent
+    # stop-to-stop spans in the same epoch is ONE probe row with the travel
+    # times summed (loaders.js:218-263), not two rows.
+    return per_seg.groupBy(
+        "trip_id", "route_id", "service_id", "segment_id", "shst_reference", "epoch"
+    ).agg(
+        F.round(F.min("_seg_dptr")).cast("long").alias("seg_dptr_sec"),
+        F.round(F.sum("_tt"), 3).alias("travel_time_sec"),
+    ).select(
+        "trip_id",
+        "route_id",
+        "service_id",
+        "segment_id",
+        "shst_reference",
+        "seg_dptr_sec",
+        "travel_time_sec",
+        "epoch",
     )
 
 

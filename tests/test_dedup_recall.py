@@ -1,0 +1,244 @@
+"""Recall / scale-contract tests for the LSH dedup + ANN family.
+
+Round-2 verdict items: the pigeonhole bucketing must find EVERY pair within
+its own max_hamming budget (chunks = max_hamming+1), minhash verification
+must agree with the exact operator on candidates, and lsh_ann's multi-probe
+equi-join must be semantically identical to the brute-force hamming filter
+it replaces.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_conflation_pipeline_spark.operators import dedup, similarity
+
+
+def _signed64(v: int) -> int:
+    """Wrap an unsigned 64-bit int into Spark's signed long range."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _brute_hamming_pairs(spark, rows, max_hamming):
+    """O(n^2) oracle: all id pairs with bit_count(xor) <= max_hamming."""
+    df = spark.createDataFrame(rows, "id long, h long")
+    a = df.select(F.col("id").alias("id_a"), F.col("h").alias("ha"))
+    b = df.select(F.col("id").alias("id_b"), F.col("h").alias("hb"))
+    return {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+
+
+def _spread_bits(base: int, n_bits: int, n_chunks: int, h: int) -> int:
+    """Flip h bits of `base`, one in each of the first h pigeonhole chunks —
+    the adversarial case the old 4-chunk bucketing provably missed."""
+    widths = [n_bits // n_chunks + (1 if c < n_bits % n_chunks else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    out = base
+    for c in range(h):
+        out ^= 1 << offsets[c]
+    return out
+
+
+@pytest.mark.parametrize("n_bits,max_hamming", [(48, 6), (64, 4), (64, 3)])
+def test_hamming_near_pairs_exact_recall_adversarial(spark, n_bits, max_hamming):
+    """Pairs differing in exactly max_hamming bits spread across ALL
+    max_hamming+1 chunks (one per chunk for the first h chunks) must be
+    found — the pigeonhole guarantee the round-1 fixed-4-chunk version
+    broke."""
+    n_chunks = max_hamming + 1
+    base_vals = [0x2E9D_3A5C_71B8 & ((1 << n_bits) - 1), 0, (1 << n_bits) - 1]
+    rows = []
+    i = 0
+    for base in base_vals:
+        rows.append((i, _signed64(base))); i += 1
+        # exactly-h spread across chunks (worst case)
+        rows.append((i, _signed64(_spread_bits(base, n_bits, n_chunks, max_hamming)))); i += 1
+        # h+1 spread: must NOT match the budget
+        if max_hamming + 1 <= n_chunks:
+            rows.append((i, _signed64(_spread_bits(base, n_bits, n_chunks, max_hamming + 1) ^ (1 << (n_bits - 1))))); i += 1
+        # a near-identical pair (hamming 1)
+        rows.append((i, _signed64(base ^ 2))); i += 1
+    # some unrelated fillers
+    for j in range(12):
+        rows.append((i, _signed64((j * 0x9E3779B97F4A7C15) & ((1 << n_bits) - 1)))); i += 1
+
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_near_pairs(
+            df, "id", "h", n_bits=n_bits, max_hamming=max_hamming
+        ).collect()
+    }
+    want = _brute_hamming_pairs(spark, rows, max_hamming)
+    assert got == want
+    # the adversarial exact-h pair is actually present in the oracle set
+    assert any(h == max_hamming for (_, _, h) in want)
+
+
+def test_hamming_near_pairs_rejects_underchunking(spark):
+    df = spark.createDataFrame([(1, 5)], "id long, h long")
+    with pytest.raises(ValueError):
+        dedup.hamming_near_pairs(df, "id", "h", n_bits=48, max_hamming=6, n_chunks=4)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different words about spark partitions and shuffles here now"),
+        (4, base + " with a small suffix added"),
+        (5, "completely different words about spark partitions and shuffles here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_verification_matches_exact_on_candidates(spark):
+    """Every pair minhash_lsh emits must carry the SAME jaccard the exact
+    operator computes (candidates-only verification is still exact), and on
+    this high-similarity fixture recall is 1."""
+    df = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    # near-identical docs must be recalled by 8 bands x 4 rows
+    assert (0, 1) in lsh and (3, 5) in lsh
+
+
+def test_minhash_plan_has_no_shingle_selfjoin(spark):
+    """Scale contract: the LSH plan must NOT contain the exact operator's
+    shingle self-join. Detect via the explain output — the exact plan joins
+    on the shingle string column `sh`; the LSH plan joins on
+    (band, bucket) and doc ids only."""
+    df = _docs(spark)
+    plan = dedup.minhash_lsh_pairs(df, "doc_id", "text")._jdf.queryExecution().toString()
+    assert "n_common" not in plan  # pair-count agg only exists in the exact op
+
+
+def test_simhash_and_phash_defaults_are_recall_safe(spark):
+    """simhash_near_pairs(max_hamming=6) and phash_near_dups(max_hamming=4)
+    equal their brute-force siblings on a corpus with engineered
+    spread-bit hashes embedded via controlled text/phash inputs."""
+    # phash: direct hash control
+    rows = [(i, _signed64(v)) for i, v in enumerate(
+        [0xDEADBEEFCAFE, _spread_bits(0xDEADBEEFCAFE, 64, 5, 4),
+         0x12345678, 0x12345678 ^ 0b11111, 7, 7 ^ (1 << 63)]
+    )]
+    img = spark.createDataFrame(rows, "image_id long, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.phash_near_dups(img, max_hamming=4).collect()
+    }
+    want = _brute_hamming_pairs(
+        spark, [(i, v) for i, v in rows], 4
+    )
+    assert got == want and len(want) >= 2
+
+    # simhash: text in, assert pigeonhole output == brute force on the hashes
+    df = _docs(spark)
+    sigs = dedup.simhash48(df, "doc_id", "text")
+    hrows = [(r.doc, r.simhash) for r in sigs.collect()]
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=6).collect()
+    }
+    want = _brute_hamming_pairs(spark, hrows, 6)
+    assert got == want
+
+
+def test_lsh_ann_multiprobe_equals_bruteforce_hamming(spark):
+    """The multi-probe signature equi-join must return EXACTLY the same
+    top-k as the brute-force hamming-filtered rerank it replaced (the mask
+    set enumerates the full hamming ball)."""
+    import math
+
+    dim, n_planes, t = 16, 12, 2
+    vecs = [
+        (i, [math.sin(0.3 * i + 0.1 * d) for d in range(dim)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.qid, r.vec_id, r.cosine, r.rank)
+        for r in similarity.lsh_ann_topk(
+            q, emb, dim=dim, k=3, n_planes=n_planes, probe_hamming=t
+        ).collect()
+    }
+    # brute-force sibling with identical semantics
+    planes = similarity._hyperplanes(dim, n_planes)
+    csig = emb.withColumn("sig", similarity.signature_bits(F.col("embedding"), planes))
+    qsig = q.withColumn("qsig", similarity.signature_bits(F.col("qvec"), planes))
+    cands = csig.crossJoin(F.broadcast(qsig)).filter(
+        (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= t)
+        & (F.col("qid") != F.col("vec_id"))
+    )
+    want = {
+        (r.qid, r.vec_id, r.cosine, r.rank)
+        for r in similarity._cosine_rerank(
+            cands, "qid", "vec_id", "qvec", "embedding", 3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_lsh_ann_plan_is_equijoin_not_crossjoin(spark):
+    import math
+
+    dim = 8
+    vecs = [(i, [math.cos(i + d) for d in range(dim)]) for i in range(10)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = (
+        similarity.lsh_ann_topk(q, emb, dim=dim, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_auto_df_cut_engages_and_reports(spark):
+    """Default-on skew guard: above the doc-count threshold the df-cut
+    engages automatically, pair counts stay bounded, and the drop count is
+    recorded (no silent caps)."""
+    hot = "common common common"  # one ubiquitous shingle in every doc
+    rows = [(i, hot + f" unique{i} tail{i} word{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.05, auto_df_cut_min_docs=10
+    )
+    n_pairs = out.count()
+    m = dedup.LAST_METRICS["ngram_jaccard"]
+    assert m["df_cut"] == dedup.AUTO_MAX_SHINGLE_FREQ or m["df_cut"] == 1000
+    assert "dropped_shingles" in m
+    # df-cut threshold (1000) > 40 docs, so nothing dropped here — force a
+    # low explicit cut and check the hot shingle actually gets dropped
+    out2 = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.05, max_shingle_freq=10
+    )
+    n_pairs2 = out2.count()
+    m2 = dedup.LAST_METRICS["ngram_jaccard"]
+    assert m2["dropped_shingles"] >= 1
+    assert n_pairs2 <= n_pairs

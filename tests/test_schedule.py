@@ -98,6 +98,85 @@ def test_weekly_count_reference_semantics(pipe):
     assert tue.max() == pytest.approx(4 / (27 / 7.0), abs=0.06)
 
 
+def test_loop_shape_fifo_visit_matching(spark):
+    """A trip traversing a loop shape visits stop A twice; the reference's
+    TripTracker FIFO consumes segment occurrences in order, so the SECOND
+    visit of A must map to the shape's SECOND A-departure segment — not the
+    first (which would produce a backwards span)."""
+    from gtfs_conflation_pipeline_spark.plans.schedule import scheduled_traffic
+
+    trips = spark.createDataFrame(
+        [("t1", "r1", "svc", "S")], "trip_id string, route_id string, service_id string, shape_id string"
+    )
+    stop_times = spark.createDataFrame(
+        [
+            ("t1", "A", 1, "06:00:00", "06:00:00"),
+            ("t1", "B", 2, "06:05:00", "06:05:00"),
+            ("t1", "A", 3, "06:10:00", "06:10:00"),
+            ("t1", "C", 4, "06:15:00", "06:15:00"),
+        ],
+        "trip_id string, stop_id string, stop_sequence int, departure_time string, arrival_time string",
+    )
+    net_segments = spark.createDataFrame(
+        [("S", 0, "A", "B"), ("S", 1, "B", "A"), ("S", 2, "A", "C")],
+        "shape_id string, shape_index int, from_stop_id string, to_stop_id string",
+    )
+    out = (
+        scheduled_traffic(trips, stop_times, net_segments)
+        .orderBy("dptr_time_sec")
+        .collect()
+    )
+    assert [(r.dptr_seg_idx, r.arvl_seg_idx) for r in out] == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_probe_grain_is_segment_trip_epoch(spark):
+    """Reference PK (conflation_map_id, trip_id, epoch): a segment matched
+    by two adjacent spans in the same epoch yields ONE probe row with the
+    travel times summed."""
+    from gtfs_conflation_pipeline_spark.plans.schedule import probe_data
+
+    traffic = spark.createDataFrame(
+        [
+            ("t1", "r1", "svc", "S", 0, 1, 21600, 21660),
+            ("t1", "r1", "svc", "S", 1, 2, 21660, 21720),
+        ],
+        "trip_id string, route_id string, service_id string, shape_id string,"
+        " dptr_seg_idx int, arvl_seg_idx int, dptr_time_sec long, arvl_time_sec long",
+    )
+    # one conflation segment matched across BOTH spans
+    matches = spark.createDataFrame(
+        [("S", 0, "seg9", "ref9", 0, 0.5, 3), ("S", 1, "seg9", "ref9", 0, 0.5, 3)],
+        "shape_id string, shape_index int, segment_id string, shst_reference string,"
+        " along_idx int, intxn_len_km double, networklevel int",
+    )
+    rows = probe_data(traffic, matches).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.segment_id == "seg9" and r.epoch == 72
+    assert r.travel_time_sec == pytest.approx(120.0, abs=1e-3)
+    assert r.seg_dptr_sec == 21600
+
+
+def test_probe_speed_fallback_level7_plus(spark):
+    """networklevel >= 8 (absent from the reference table) must fall back to
+    30 mph, not NULL out the whole span's weights."""
+    from gtfs_conflation_pipeline_spark.plans.schedule import probe_data
+
+    traffic = spark.createDataFrame(
+        [("t1", "r1", "svc", "S", 0, 2, 0, 100)],
+        "trip_id string, route_id string, service_id string, shape_id string,"
+        " dptr_seg_idx int, arvl_seg_idx int, dptr_time_sec long, arvl_time_sec long",
+    )
+    matches = spark.createDataFrame(
+        [("S", 0, "sA", "rA", 0, 1.0, 8), ("S", 1, "sB", "rB", 0, 1.0, 8)],
+        "shape_id string, shape_index int, segment_id string, shst_reference string,"
+        " along_idx int, intxn_len_km double, networklevel int",
+    )
+    rows = {r.segment_id: r for r in probe_data(traffic, matches).collect()}
+    assert rows["sA"].travel_time_sec == pytest.approx(50.0, abs=1e-3)
+    assert rows["sB"].travel_time_sec == pytest.approx(50.0, abs=1e-3)
+
+
 def test_traffic_weighted_avg_bounds(pipe):
     by_route = pipe["traffic_by_route"].toPandas()
     overall = pipe["traffic"].toPandas()
