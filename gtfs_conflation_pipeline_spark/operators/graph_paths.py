@@ -35,6 +35,10 @@ import heapq
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import kernels as K
 
@@ -301,3 +305,120 @@ def choose_paths_for_segment(
     # path (findNonAxiomaticPaths.js:229-242 max-total-length combo, capped
     # — the O(2^n) hazard the reference flags at :218-222)
     return sorted(paths, key=lambda p: (-p.length_km, p.match_ids))[:1]
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring: the reference's gtfs_shape_shst_match_paths table
+# (GtfsOsmNetworkDAO/loaders.js:88-157 — paths decomposed into
+# (path_index, path_edge_index) rows per GTFS shape segment)
+# ---------------------------------------------------------------------------
+
+MATCH_PATHS_ROW = T.StructType(
+    [
+        T.StructField("path_index", T.IntegerType()),
+        T.StructField("path_edge_index", T.IntegerType()),
+        T.StructField("match_id", T.LongType()),
+        T.StructField("shst_reference", T.StringType()),
+        T.StructField("path_len_km", T.DoubleType()),
+    ]
+)
+
+
+def match_paths_table(
+    refined: DataFrame, segments: DataFrame, osm: DataFrame
+) -> DataFrame:
+    """Pass-B wired into the Spark plan: per GTFS shape segment, run the
+    full subgraph -> components -> Dijkstra -> union-fixpoint -> annealed
+    choice chain over that segment's refined corridor candidates, and emit
+    the reference's path decomposition (loaders.js:113-156):
+    one row per (shape_id, shape_index, path_index, path_edge_index).
+
+    Each candidate's match geometry is the candidate's matched SLICE of the
+    OSM line ([osm_start, osm_end] via line_slice_along) — the analog of
+    the shst match result geometry the reference builds edges from.
+
+    Physical shape (the measured-fast pattern): candidates are gathered per
+    segment with ONE collect_list shuffle and the whole per-segment chain
+    runs inside a single SCALAR pandas_udf (one Python call per Arrow
+    batch), then explodes back to rows. Parallelism = number of GTFS
+    segments; no cross-segment state, so this scales exactly like the
+    flagship chooser."""
+    o_geom = osm.select(
+        "segment_id", F.col("xs").alias("o_xs"), F.col("ys").alias("o_ys")
+    )
+    g_geom = segments.select(
+        "shape_id", "shape_index", F.col("xs").alias("g_xs"), F.col("ys").alias("g_ys")
+    )
+    cand = (
+        refined.select(
+            "shape_id", "shape_index", "segment_id", "shst_reference",
+            "osm_start", "osm_end",
+        )
+        .dropDuplicates(["shape_id", "shape_index", "segment_id"])
+        .join(o_geom, "segment_id")
+        .join(g_geom, ["shape_id", "shape_index"])
+    )
+    par = refined.sparkSession.sparkContext.defaultParallelism
+    grouped = (
+        cand.groupBy("shape_id", "shape_index")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "segment_id", "shst_reference", "osm_start", "osm_end",
+                    "o_xs", "o_ys",
+                )
+            ).alias("cands"),
+            F.first("g_xs").alias("g_xs"),
+            F.first("g_ys").alias("g_ys"),
+        )
+        .repartition(par)
+    )
+
+    @F.pandas_udf(T.ArrayType(MATCH_PATHS_ROW))
+    def decompose(cands: pd.Series, gxs: pd.Series, gys: pd.Series) -> pd.Series:
+        out = []
+        for lst, gx, gy in zip(cands, gxs, gys):
+            ms, refs = [], {}
+            for c in lst:
+                exs, eys = K.line_slice_along(
+                    np.asarray(c["o_xs"]), np.asarray(c["o_ys"]),
+                    float(c["osm_start"]), float(c["osm_end"]),
+                )
+                ms.append(
+                    {
+                        "match_id": int(c["segment_id"]),
+                        "shst_reference": c["shst_reference"],
+                        "xs": exs,
+                        "ys": eys,
+                    }
+                )
+                refs[int(c["segment_id"])] = c["shst_reference"]
+            paths = choose_paths_for_segment(ms, np.asarray(gx), np.asarray(gy))
+            rows = []
+            for pi, p in enumerate(paths):
+                plen = p.length_km
+                for ei, mid in enumerate(p.match_ids):
+                    rows.append(
+                        {
+                            "path_index": pi,
+                            "path_edge_index": ei,
+                            "match_id": mid,
+                            "shst_reference": refs[mid],
+                            "path_len_km": plen,
+                        }
+                    )
+            out.append(rows)
+        return pd.Series(out)
+
+    return (
+        grouped.withColumn("r", F.explode(decompose("cands", "g_xs", "g_ys")))
+        .select(
+            "shape_id",
+            "shape_index",
+            F.col("r.path_index").alias("path_index"),
+            F.col("r.path_edge_index").alias("path_edge_index"),
+            F.col("r.match_id").alias("match_id"),
+            F.col("r.shst_reference").alias("shst_reference"),
+            F.col("r.path_len_km").alias("path_len_km"),
+        )
+    )

@@ -34,6 +34,9 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
     osm = FX.osm_segment_batch(np.arange(n_shapes * n_chunks))
 
     match_rows = []
+    match_path_rows = []
+    from .operators.graph_paths import choose_paths_for_segment
+
     for s in range(n_shapes):
         xs = lon[s * FX.PTS_PER_SHAPE : (s + 1) * FX.PTS_PER_SHAPE]
         ys = lat[s * FX.PTS_PER_SHAPE : (s + 1) * FX.PTS_PER_SHAPE]
@@ -60,10 +63,25 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
             gx, gy = K.round6(gx), K.round6(gy)
             g_len = hi - lo
             cands = []
+            path_cands = []
             for o in osm.itertuples(index=False):
                 m = K.corridor_match(gx, gy, np.asarray(o.xs), np.asarray(o.ys), radius_km=CORRIDOR_KM)
                 if m is None:
                     continue
+                # Pass-B consumes ALL corridor survivors (its annealed
+                # thresholds do the selecting); the matched OSM slice is the
+                # graph edge geometry
+                pxs, pys = K.line_slice_along(
+                    np.asarray(o.xs), np.asarray(o.ys), m["b_start_km"], m["b_end_km"]
+                )
+                path_cands.append(
+                    {
+                        "match_id": int(o.segment_id),
+                        "shst_reference": o.shst_reference,
+                        "xs": pxs,
+                        "ys": pys,
+                    }
+                )
                 if m["intxn_len_km"] / g_len < MIN_COVER_RATIO:
                     continue
                 cands.append(
@@ -98,6 +116,22 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
                 if (b - a) > 0 and ov / (b - a) <= OVERLAP_TOL:
                     match_rows.append(c)
                     intervals.append((a, b))
+            # Pass-B path decomposition (same semantics as the engine's
+            # match_paths stage)
+            refs = {c["match_id"]: c["shst_reference"] for c in path_cands}
+            for pi, p in enumerate(choose_paths_for_segment(path_cands, gx, gy)):
+                for ei, mid in enumerate(p.match_ids):
+                    match_path_rows.append(
+                        {
+                            "shape_id": f"shp_{s:05d}",
+                            "shape_index": gi,
+                            "path_index": pi,
+                            "path_edge_index": ei,
+                            "match_id": mid,
+                            "shst_reference": refs[mid],
+                            "path_len_km": p.length_km,
+                        }
+                    )
 
     matches = pd.DataFrame(match_rows)
     if len(matches):
@@ -172,4 +206,5 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
         "matches": matches.reset_index(drop=True),
         "tiles": tiles.reset_index(drop=True),
         "scores": scores.reset_index(drop=True),
+        "match_paths": pd.DataFrame(match_path_rows).reset_index(drop=True),
     }

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .. import fixtures as FX
 from ..checkpoint import CheckpointManager
 from ..functions import udfs as U
-from ..operators import scoring, snap, spatial_join, tiles
+from ..operators import graph_paths, scoring, snap, spatial_join, tiles
 from . import schedule
 
 
@@ -79,6 +79,11 @@ def run_pipeline(
         lambda: FX.osm_segments_table(spark, n_images, partitions=partitions),
     )
     raw = FX.raw_tables(spark, out["images"])
+    # checkpoint the relational raw tables (tiny): downstream schedule stages
+    # re-read them cheaply, and each stage's parquet inputs are independently
+    # readable by external engines (the DuckDB stage oracles read these)
+    for name in ("trips", "stop_times", "routes", "calendar", "calendar_dates", "feed_info"):
+        raw[name] = ckpt.run_stage(spark, f"raw_{name}", lambda n=name: raw[n])
     out.update(run_from_raw(spark, raw, out["osm_segments"], ckpt))
     return out
 
@@ -123,9 +128,24 @@ def run_from_raw(
     if done("net_segments"):
         return out
 
+    # filter-refine output is its own stage: BOTH choosers (the greedy
+    # interval cover and the full Pass-B graph chooser) consume it, so the
+    # expensive corridor refine runs exactly once
+    def _refined() -> DataFrame:
+        return spatial_join.refine(
+            spatial_join.candidate_pairs(out["net_segments"], out["osm_segments"])
+        )
+
+    out["refined"] = ckpt.run_stage(
+        spark, "refined", _refined, rows_in_from="net_segments"
+    )
+
     def _matches() -> DataFrame:
-        return spatial_join.conflation_join(
-            out["net_segments"], out["osm_segments"]
+        g_len = out["net_segments"].select(
+            "shape_id", "shape_index", F.col("length_km").alias("g_len_km")
+        )
+        return spatial_join.choose_matches(
+            out["refined"].join(g_len, ["shape_id", "shape_index"])
         )
 
     out["matches"] = ckpt.run_stage(
@@ -137,7 +157,19 @@ def run_from_raw(
             .distinct()
             .count()
         },
-        rows_in_from="net_segments",
+        rows_in_from="refined",
+    )
+
+    # Pass-B graph path choice over the same refined candidates — the
+    # reference's gtfs_shape_shst_match_paths table
+    # (GtfsOsmNetworkDAO/loaders.js:88-157)
+    out["match_paths"] = ckpt.run_stage(
+        spark,
+        "match_paths",
+        lambda: graph_paths.match_paths_table(
+            out["refined"], out["net_segments"], out["osm_segments"]
+        ),
+        rows_in_from="refined",
     )
 
     out["tiles"] = ckpt.run_stage(

@@ -1059,29 +1059,220 @@ def q_match_scores(spark, sf):
     return _pipeline(spark)["match_scores"]
 
 
+def q_match_paths(spark, sf):
+    """Pass-B graph path choice: the reference's gtfs_shape_shst_match_paths
+    decomposition (path_index / path_edge_index per chosen subgraph path;
+    GtfsOsmNetworkDAO/loaders.js:88-157). Bit-exact vs the numpy oracle in
+    tests/test_pipeline_e2e.py; rows-only here (geometry kernels are not
+    SQL-expressible)."""
+    return _pipeline(spark)["match_paths"].orderBy(
+        "shape_id", "shape_index", "path_index", "path_edge_index"
+    )
+
+
 def q_service_dates(spark, sf):
     """Stage-5 calendar semantics (date series + dow flags + exceptions)."""
-    return _pipeline(spark)["service_dates"]
+    return _pipeline(spark)["service_dates"].orderBy("service_id", "date")
 
 
 def q_scheduled_traffic(spark, sf):
     """Stage-5 TripTracker semantics (per-trip stop-span traffic rows)."""
-    return _pipeline(spark)["scheduled_traffic"]
+    return _pipeline(spark)["scheduled_traffic"].orderBy("trip_id", "dptr_seg_idx")
 
 
 def q_probe_data(spark, sf):
     """Stage-8 range join + weighted travel-time distribution."""
-    return _pipeline(spark)["probe_data"]
+    return _pipeline(spark)["probe_data"].orderBy(
+        "trip_id", "segment_id", "epoch"
+    )
 
 
 def q_traffic_by_route(spark, sf):
     """Stage-8 per-route traffic aggregates (weekly-normalized)."""
-    return _pipeline(spark)["traffic_by_route"]
+    return _pipeline(spark)["traffic_by_route"].orderBy(
+        "segment_id", "route_short_name", "dow", "epoch"
+    )
 
 
 def q_aadt_breakdown(spark, sf):
     """Stage-8 three-grain AADT wide rollup."""
-    return _pipeline(spark)["aadt"]
+    return _pipeline(spark)["aadt"].orderBy("segment_id")
+
+
+# --------------------------------------------------------------------------
+# Schedule-stage DuckDB oracles: each stage re-expressed in ANSI SQL over its
+# DIRECT INPUT stage checkpoints (the pipeline writes every stage — including
+# the raw GTFS tables — as engine-agnostic parquet). Reference semantics:
+# GtfsScheduledTrafficDAO/createTableFns.js:341-474 (service_dates),
+# TripTracker.js:70-289 (scheduled_traffic),
+# GtfsConflationScheduleJoinDAO/loaders.js:186-263 (probe_data),
+# createTableFns.js:22-202 (traffic_by_route / aadt).
+# --------------------------------------------------------------------------
+
+
+def _stage_pq(stage: str) -> str:
+    from .. import __version__
+
+    return f"read_parquet('/tmp/spark_graft_pipe_cache_{__version__}/n1000/{stage}/data/*.parquet')"
+
+
+SQL_SERVICE_DATES = f"""
+WITH cal AS (SELECT * FROM {_stage_pq('raw_calendar')}),
+cd AS (SELECT * FROM {_stage_pq('raw_calendar_dates')}),
+days AS (
+  SELECT service_id,
+         unnest(generate_series(strptime(start_date, '%Y%m%d')::DATE,
+                                strptime(end_date, '%Y%m%d')::DATE,
+                                INTERVAL 1 DAY))::DATE AS date,
+         [sunday, monday, tuesday, wednesday, thursday, friday, saturday] AS dows
+  FROM cal),
+base AS (SELECT service_id, date FROM days WHERE dows[dayofweek(date) + 1] = 1),
+added AS (SELECT service_id, strptime(date, '%Y%m%d')::DATE AS date
+          FROM cd WHERE exception_type = 1),
+removed AS (SELECT service_id, strptime(date, '%Y%m%d')::DATE AS date
+            FROM cd WHERE exception_type = 2),
+u AS (SELECT DISTINCT service_id, date
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM added))
+SELECT u.service_id, u.date, dayofweek(u.date)::INT AS dow
+FROM u LEFT JOIN removed r ON u.service_id = r.service_id AND u.date = r.date
+WHERE r.service_id IS NULL
+ORDER BY u.service_id, u.date
+"""
+
+
+SQL_SCHEDULED_TRAFFIC = f"""
+WITH st0 AS (
+  SELECT trip_id, stop_id, stop_sequence,
+         split_part(departure_time, ':', 1)::INT * 3600
+           + split_part(departure_time, ':', 2)::INT * 60
+           + split_part(departure_time, ':', 3)::INT AS dptr_time_sec,
+         split_part(arrival_time, ':', 1)::INT * 3600
+           + split_part(arrival_time, ':', 2)::INT * 60
+           + split_part(arrival_time, ':', 3)::INT AS arr_sec
+  FROM {_stage_pq('raw_stop_times')}),
+sp0 AS (
+  SELECT trip_id, stop_id, stop_sequence, dptr_time_sec,
+         lead(stop_id) OVER w AS next_stop_id,
+         lead(arr_sec) OVER w AS arvl_time_sec
+  FROM st0 WINDOW w AS (PARTITION BY trip_id ORDER BY stop_sequence)),
+spans AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY trip_id, stop_id ORDER BY stop_sequence) AS from_visit,
+         row_number() OVER (PARTITION BY trip_id, next_stop_id ORDER BY stop_sequence) AS to_visit
+  FROM sp0 WHERE next_stop_id IS NOT NULL),
+segf AS (
+  SELECT shape_id, from_stop_id AS stop_id, shape_index AS dptr_seg_idx,
+         row_number() OVER (PARTITION BY shape_id, from_stop_id ORDER BY shape_index) AS from_visit
+  FROM {_stage_pq('net_segments')}),
+segt AS (
+  SELECT shape_id, to_stop_id AS next_stop_id, shape_index + 1 AS arvl_seg_idx,
+         row_number() OVER (PARTITION BY shape_id, to_stop_id ORDER BY shape_index) AS to_visit
+  FROM {_stage_pq('net_segments')}),
+j AS (
+  SELECT t.trip_id, t.route_id, t.service_id, t.shape_id, s.stop_sequence,
+         f.dptr_seg_idx, g.arvl_seg_idx, s.dptr_time_sec, s.arvl_time_sec
+  FROM spans s
+  JOIN {_stage_pq('raw_trips')} t USING (trip_id)
+  JOIN segf f ON f.shape_id = t.shape_id AND f.stop_id = s.stop_id
+             AND f.from_visit = s.from_visit
+  JOIN segt g ON g.shape_id = t.shape_id AND g.next_stop_id = s.next_stop_id
+             AND g.to_visit = s.to_visit
+  WHERE g.arvl_seg_idx > f.dptr_seg_idx)
+SELECT trip_id, route_id, service_id, shape_id,
+       dptr_seg_idx, arvl_seg_idx, dptr_time_sec, arvl_time_sec
+FROM (SELECT *, row_number() OVER (PARTITION BY trip_id, stop_sequence
+                                   ORDER BY dptr_seg_idx, arvl_seg_idx) AS rn
+      FROM j)
+WHERE rn = 1
+ORDER BY trip_id, dptr_seg_idx
+"""
+
+
+SQL_PROBE_DATA = f"""
+WITH m AS (
+  SELECT shape_id, shape_index, segment_id, shst_reference, along_idx,
+         intxn_len_km / (CASE networklevel
+             WHEN 0 THEN 57.5 WHEN 1 THEN 44.9 WHEN 2 THEN 41.6
+             WHEN 3 THEN 41.7 WHEN 4 THEN 39.5 WHEN 5 THEN 33.5
+             WHEN 6 THEN 40.8 WHEN 7 THEN 31.9 ELSE 30.0 END) AS weight
+  FROM {_stage_pq('matches')}),
+j AS (
+  SELECT t.trip_id, t.route_id, t.service_id,
+         t.dptr_time_sec, t.arvl_time_sec, t.dptr_seg_idx, t.arvl_seg_idx,
+         m.shape_index, m.along_idx, m.segment_id, m.shst_reference, m.weight
+  FROM {_stage_pq('scheduled_traffic')} t
+  JOIN m ON m.shape_id = t.shape_id
+  WHERE t.dptr_seg_idx <= m.shape_index AND m.shape_index < t.arvl_seg_idx),
+w AS (
+  SELECT *,
+    sum(weight) OVER (PARTITION BY trip_id, dptr_seg_idx, arvl_seg_idx
+        ORDER BY shape_index, along_idx, segment_id, shst_reference, weight
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS total_w,
+    coalesce(sum(weight) OVER (PARTITION BY trip_id, dptr_seg_idx, arvl_seg_idx
+        ORDER BY shape_index, along_idx, segment_id, shst_reference, weight
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS w_before
+  FROM j),
+per_seg AS (
+  SELECT trip_id, route_id, service_id, segment_id, shst_reference,
+         dptr_time_sec
+           + (CASE WHEN total_w > 0 THEN w_before / total_w ELSE 0.0 END)
+             * (arvl_time_sec - dptr_time_sec) AS seg_dptr,
+         (CASE WHEN total_w > 0 THEN weight / total_w ELSE 0.0 END)
+           * (arvl_time_sec - dptr_time_sec) AS tt
+  FROM w)
+SELECT trip_id, route_id, service_id, segment_id, shst_reference,
+       round(min(seg_dptr))::BIGINT AS seg_dptr_sec,
+       round(sum(tt), 3) AS travel_time_sec,
+       epoch
+FROM (SELECT *, floor(seg_dptr / 300)::INT AS epoch FROM per_seg)
+GROUP BY trip_id, route_id, service_id, segment_id, shst_reference, epoch
+ORDER BY trip_id, segment_id, epoch
+"""
+
+
+SQL_TRAFFIC_BY_ROUTE = f"""
+WITH weeks AS (
+  SELECT datediff('day', strptime(feed_start_date, '%Y%m%d')::DATE,
+                  strptime(feed_end_date, '%Y%m%d')::DATE) / 7.0 AS feed_num_weeks
+  FROM {_stage_pq('raw_feed_info')})
+SELECT p.segment_id, p.shst_reference, r.route_short_name, d.dow, p.epoch,
+       round(avg(p.travel_time_sec), 3) AS avg_tt_sec,
+       round(count(*) / max(w.feed_num_weeks), 1) AS avg_weekly_count
+FROM {_stage_pq('probe_data')} p
+JOIN {_stage_pq('service_dates')} d USING (service_id)
+JOIN {_stage_pq('raw_routes')} r USING (route_id)
+CROSS JOIN weeks w
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1, 3, 4, 5
+"""
+
+
+SQL_AADT = f"""
+WITH br AS (
+  SELECT *,
+    CASE WHEN epoch BETWEEN 72 AND 239 AND dow BETWEEN 1 AND 5 THEN
+           CASE WHEN epoch BETWEEN 72 AND 119 THEN 'AMP'
+                WHEN epoch BETWEEN 120 AND 191 THEN 'MIDD'
+                ELSE 'PMP' END
+         WHEN epoch BETWEEN 72 AND 239 THEN 'WE'
+         ELSE 'OVN' END AS peak
+  FROM {_stage_pq('traffic_by_route')}),
+grain AS (
+  SELECT segment_id, peak, route_short_name,
+         round(sum(avg_weekly_count) / 7.0) AS aadt
+  FROM br GROUP BY 1, 2, 3)
+SELECT segment_id,
+       sum(aadt) AS aadt,
+       coalesce(sum(aadt) FILTER (WHERE peak = 'AMP'), 0.0) AS aadt_amp,
+       coalesce(sum(aadt) FILTER (WHERE peak = 'MIDD'), 0.0) AS aadt_midd,
+       coalesce(sum(aadt) FILTER (WHERE peak = 'PMP'), 0.0) AS aadt_pmp,
+       coalesce(sum(aadt) FILTER (WHERE peak = 'WE'), 0.0) AS aadt_we,
+       coalesce(sum(aadt) FILTER (WHERE peak = 'OVN'), 0.0) AS aadt_ovn,
+       count(DISTINCT route_short_name) AS n_routes
+FROM grain
+GROUP BY segment_id
+ORDER BY segment_id
+"""
 
 
 def q_image_decode_stats(spark, sf):
@@ -1141,6 +1332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann": q_ivf_ann,
     "image_decode_stats": q_image_decode_stats,
     "match_scores": q_match_scores,
+    "match_paths": q_match_paths,
     "service_dates": q_service_dates,
     "scheduled_traffic": q_scheduled_traffic,
     "probe_data": q_probe_data,
@@ -1183,4 +1375,11 @@ ORACLE_SQL: dict[str, str] = {
     "string_funcs": SQL_STRING_FUNCS,
     "quality_score": SQL_QUALITY,
     "case_buckets": SQL_CASE_BUCKETS,
+    # schedule stages, each verified against ANSI SQL over its direct-input
+    # stage checkpoints (run the Spark query first — it materializes them)
+    "service_dates": SQL_SERVICE_DATES,
+    "scheduled_traffic": SQL_SCHEDULED_TRAFFIC,
+    "probe_data": SQL_PROBE_DATA,
+    "traffic_by_route": SQL_TRAFFIC_BY_ROUTE,
+    "aadt_breakdown": SQL_AADT,
 }

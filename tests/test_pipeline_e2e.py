@@ -77,6 +77,62 @@ def test_scores_equal_oracle(pipeline_out, oracle_out):
         assert np.allclose(eng[k].values, orc[k].values, atol=1e-9), f"col {k}"
 
 
+def test_match_paths_equal_oracle(pipeline_out, oracle_out):
+    """Pass-B pipeline output (gtfs_shape_shst_match_paths analog) must be
+    bit-exact vs the numpy oracle running the same subgraph -> Dijkstra ->
+    union -> anneal chain over brute-force corridor candidates."""
+    _, out = pipeline_out
+    key = ["shape_id", "shape_index", "path_index", "path_edge_index"]
+    eng = out["match_paths"].toPandas().sort_values(key).reset_index(drop=True)
+    orc = oracle_out["match_paths"].sort_values(key).reset_index(drop=True)
+    assert len(eng) == len(orc), f"row count {len(eng)} != oracle {len(orc)}"
+    for k in key + ["match_id", "shst_reference"]:
+        assert (eng[k].values == orc[k].values).all(), f"mismatch col {k}"
+    assert np.allclose(eng["path_len_km"].values, orc["path_len_km"].values, atol=1e-9)
+    # decomposition invariant: path_edge_index is dense 0..k per path
+    g = eng.groupby(["shape_id", "shape_index", "path_index"]).path_edge_index
+    assert (g.min() == 0).all() and (g.max() + 1 == g.count()).all()
+
+
+def test_match_paths_agree_with_greedy_at_pipeline_level(pipeline_out):
+    """Pipeline-level promotion of the greedy==graph agreement test.
+
+    The two choosers differ by design in exactly two ways: (a) Pass-B path
+    linestrings legitimately absorb SUB-THRESHOLD connector/tail edges
+    (cover < MIN_COVER_RATIO) that greedy's length-ratio filter drops up
+    front, and (b) when a >2 m graph gap splits candidates, greedy covers
+    disjoint intervals while the annealed path choice keeps only qualifying
+    paths. So the invariant asserted here: restricted to above-threshold
+    candidates, the Pass-B match set EQUALS the greedy cover on >= 90% of
+    matched segments — and Pass-B never selects an OSM segment the corridor
+    refine rejected."""
+    from gtfs_conflation_pipeline_spark.operators.spatial_join import MIN_COVER_RATIO
+
+    _, out = pipeline_out
+    mp = out["match_paths"].toPandas()
+    mt = out["matches"].toPandas()
+    refined = out["refined"].toPandas()
+    net = out["net_segments"].toPandas()
+    ref_keys = set(zip(refined.shape_id, refined.shape_index, refined.segment_id))
+    for r in mp.itertuples(index=False):
+        assert (r.shape_id, r.shape_index, r.match_id) in ref_keys
+    g_len = {(r.shape_id, r.shape_index): r.length_km for r in net.itertuples(index=False)}
+    cover = {
+        (r.shape_id, r.shape_index, r.segment_id): r.intxn_len_km / g_len[(r.shape_id, r.shape_index)]
+        for r in refined.itertuples(index=False)
+    }
+    greedy = mt.groupby(["shape_id", "shape_index"]).segment_id.agg(set)
+    graph = mp.groupby(["shape_id", "shape_index"]).match_id.agg(set)
+    both = greedy.index.intersection(graph.index)
+    assert len(both) > 10
+    agree = sum(
+        1
+        for k in both
+        if {m for m in graph[k] if cover.get((*k, m), 0.0) >= MIN_COVER_RATIO} == greedy[k]
+    )
+    assert agree / len(both) >= 0.9, f"only {agree}/{len(both)} segments agree"
+
+
 def test_dropped_chunks_unmatched(oracle_out, pipeline_out):
     """Fixture mode (s+c)%10==0 drops the OSM chunk — those slots must not
     produce full-coverage matches from the true segment, and distractor
