@@ -42,9 +42,9 @@ STAGE_ORDER = [
 STAGE_TABLES = {
     "gtfs_as_geojson": ["geo_shapes", "geo_stops"],
     "gtfs_network": ["net_segments"],
-    "gtfs_osm_network": ["matches", "match_scores"],
+    "gtfs_osm_network": ["matches", "match_paths", "match_scores"],
     "scheduled_bus_traffic": ["service_dates", "scheduled_traffic"],
-    "gtfs_conflation_map_join": ["tiles"],
+    "gtfs_conflation_map_join": ["tiles", "cospatiality"],
     "gtfs_conflation_schedule_join": [
         "probe_data",
         "traffic_by_route",

@@ -649,11 +649,79 @@ def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
       a_start_km / a_end_km   — overlap interval along A
       b_start_km / b_end_km   — overlap interval along B
       intxn_len_km            — overlap length along A
+
+    NOTE the B interval here is min/max of A-vertex snap positions (the
+    flagship join's documented contract). For the standalone cospatiality
+    pair table use `cospatiality_two_sided`, whose B interval comes from an
+    INDEPENDENT projection — correct for backtracking/overshooting pairs.
     """
     r = corridor_match(ax, ay, bx, by, radius_km=radius_km)
     if r is None:
         return None
     return {k: r[k] for k in ("a_start_km", "a_end_km", "b_start_km", "b_end_km", "intxn_len_km")}
+
+
+def _corridor_interval(px_, py_, qx, qy, radius_km: float):
+    """Along-P interval of P's (densified) vertices within radius of Q, or
+    None. One side of the two-sided cospatiality."""
+    px_ = np.asarray(px_, dtype=np.float64)
+    py_ = np.asarray(py_, dtype=np.float64)
+    qx = np.asarray(qx, dtype=np.float64)
+    qy = np.asarray(qy, dtype=np.float64)
+    pxd, pyd = px_, py_
+    for _ in range(2):
+        pxd, pyd = midpoints(pxd, pyd)
+    _, _, _, dev, _, _ = snap_points_to_polyline(pxd, pyd, qx, qy)
+    p_len = polyline_length_km(px_, py_)
+    seg_len, start = segmentize(pxd, pyd)
+    pos = np.concatenate([start, [p_len]])
+    within = dev <= radius_km
+    if not np.any(within):
+        return None
+    idx = np.where(within)[0]
+    return float(pos[idx[0]]), float(pos[idx[-1]])
+
+
+def cospatiality_two_sided(ax, ay, bx, by, radius_km: float = 0.005):
+    """Two-sided cospatiality: the A and B overlap intervals come from
+    INDEPENDENT projections (reference getCospatialityOfLinestrings.js:
+    123-166 intersects the buffered geometries and measures offsets on EACH
+    line separately). Deriving the B interval as min/max of A-vertex snap
+    positions (corridor_match) is wrong when B partially backtracks or
+    overshoots: the nearest-point projection collapses B's repeated
+    traversal onto one branch. Here B's own densified vertices are
+    projected onto A, so a backtracking B correctly reports its full
+    cospatial extent.
+
+    Returns None when either line is under the 2 m cutoff
+    (getCospatialityOfLinestrings.js:13), either side has no within-radius
+    portion, or either interval is under the 1 m intersection predicate
+    (GtfsConflationMapJoinDAO/loaders.js:56)."""
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    if (
+        polyline_length_km(ax, ay) < SHORT_SEG_CUTOFF_KM
+        or polyline_length_km(bx, by) < SHORT_SEG_CUTOFF_KM
+    ):
+        return None
+    a_int = _corridor_interval(ax, ay, bx, by, radius_km)
+    b_int = _corridor_interval(bx, by, ax, ay, radius_km)
+    if a_int is None or b_int is None:
+        return None
+    a_start, a_end = a_int
+    b_start, b_end = b_int
+    if a_end - a_start <= 0.001 or b_end - b_start <= 0.001:
+        return None
+    return {
+        "a_start_km": a_start,
+        "a_end_km": a_end,
+        "b_start_km": b_start,
+        "b_end_km": b_end,
+        "intxn_a_km": a_end - a_start,
+        "intxn_b_km": b_end - b_start,
+    }
 
 
 # ---------------------------------------------------------------------------

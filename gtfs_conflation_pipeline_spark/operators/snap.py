@@ -24,13 +24,25 @@ from ..functions.udfs import arrow_frame
 
 SEGMENTS_SCHEMA = (
     "shape_id string, shape_index int, from_stop_id string, to_stop_id string, "
-    "start_dist_km double, length_km double, xs array<double>, ys array<double>"
+    "start_dist_km double, length_km double, xs array<double>, ys array<double>, "
+    "dist_source string"
 )
 
 
 def _fit_and_slice(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped kernel: one row in = one shape (xs, ys, stop arrays);
-    rows out = its stop-to-stop segments."""
+    rows out = its stop-to-stop segments.
+
+    Slice boundary source (reference GeoJsonGtfsDAO/generators.js:19-94
+    PREFERS stop_times.shape_dist_traveled over geometric snapping):
+      'dist'     — monotone finite shape_dist_traveled present; unit inferred
+                   via kernels.infer_dist_units_to_km and converted to km
+      'fallback' — shape_dist_traveled present but failed the reference's
+                   +-10% unit sanity invariant -> geometric snap (the
+                   reference THROWS here; we degrade and surface the count
+                   as a stage metric)
+      'geom'     — no usable shape_dist_traveled; DP stop-fit snapping
+    """
     row = pdf.iloc[0]
     xs = np.asarray(row["xs"], dtype=np.float64)
     ys = np.asarray(row["ys"], dtype=np.float64)
@@ -46,15 +58,39 @@ def _fit_and_slice(pdf: pd.DataFrame) -> pd.DataFrame:
         "length_km": [],
         "xs": [],
         "ys": [],
+        "dist_source": [],
     }
     if xs.size < 2 or len(stop_ids) < 2:
         return arrow_frame(out)
-    fit = K.fit_stops_to_path(sx, sy, xs, ys)
     total = K.polyline_length_km(xs, ys)
-    # slice boundaries: shape start, interior snapped stops, shape end —
+
+    dist_along = None
+    source = "geom"
+    raw_dists = row.get("stop_dists")
+    if raw_dists is not None:
+        d = np.asarray(
+            [np.nan if v is None else float(v) for v in raw_dists], dtype=np.float64
+        )
+        if (
+            d.size == len(stop_ids)
+            and np.all(np.isfinite(d))
+            and np.all(np.diff(d) >= 0)
+            and d[-1] > 0
+        ):
+            try:
+                scale, _unit = K.infer_dist_units_to_km(float(d[-1]), total)
+                if scale is not None:
+                    dist_along = np.clip(d * scale, 0.0, total)
+                    source = "dist"
+            except ValueError:
+                source = "fallback"  # +-10% sanity miss -> geometric snap
+    if dist_along is None:
+        fit = K.fit_stops_to_path(sx, sy, xs, ys)
+        dist_along = fit["dist_along_km"]
+    # slice boundaries: shape start, interior stop positions, shape end —
     # first/last stop-to-stop slices are extended to the shape's endpoints
     # (reference slices cover the whole shape, loaders/index.js:104-130)
-    bounds = np.concatenate([[0.0], fit["dist_along_km"][1:-1], [total]])
+    bounds = np.concatenate([[0.0], dist_along[1:-1], [total]])
     bounds = np.maximum.accumulate(bounds)  # monotone guard
     for i in range(len(stop_ids) - 1):
         lo, hi = float(bounds[i]), float(bounds[i + 1])
@@ -71,6 +107,7 @@ def _fit_and_slice(pdf: pd.DataFrame) -> pd.DataFrame:
         out["length_km"].append(hi - lo)
         out["xs"].append(K.round6(gx))
         out["ys"].append(K.round6(gy))
+        out["dist_source"].append(source)
     return arrow_frame(out)
 
 
@@ -166,35 +203,44 @@ def shapes_with_stop_sequences(
 
     trips/stop_times are fact tables; geo_stops is dimension-sized per feed
     and is broadcast.
+
+    When stop_times carries shape_dist_traveled, the authoritative
+    sequence's per-stop values ride along as `stop_dists` (the reference
+    PREFERS them over geometric snapping, generators.js:19-94); absent or
+    null values degrade to geometric snapping in the slice kernel.
     """
-    seq_per_trip = (
-        stop_times.join(trips.select("trip_id", "shape_id"), "trip_id")
-        .groupBy("shape_id", "trip_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("stop_sequence", "stop_id"))
-            ).alias("seq")
-        )
-        .select(
-            "shape_id", F.transform("seq", lambda s: s["stop_id"]).alias("stop_ids")
-        )
+    sdt = (
+        F.col("shape_dist_traveled").cast("double")
+        if "shape_dist_traveled" in stop_times.columns
+        else F.lit(None).cast("double")
     )
-    # one authoritative sequence per shape (deterministic min)
+    seq_per_trip = _seq_per_trip(trips, stop_times, sdt)
+    # one authoritative sequence per shape (deterministic min; the reference
+    # THROWS on conflicting sequences — see stop_sequence_conflicts)
     seq_per_shape = seq_per_trip.groupBy("shape_id").agg(
-        F.min("stop_ids").alias("stop_ids")
+        F.min(F.struct("stop_ids", "stop_dists")).alias("m")
+    ).select(
+        "shape_id",
+        F.col("m.stop_ids").alias("stop_ids"),
+        F.col("m.stop_dists").alias("stop_dists"),
     )
     stops_dim = F.broadcast(
         geo_stops.select("stop_id", "stop_lon", "stop_lat")
     )
     with_coords = (
         seq_per_shape.select(
-            "shape_id", F.posexplode("stop_ids").alias("pos", "stop_id")
+            "shape_id",
+            "stop_dists",
+            F.posexplode("stop_ids").alias("pos", "stop_id"),
         )
+        .withColumn("stop_dist", F.element_at("stop_dists", F.col("pos") + 1))
         .join(stops_dim, "stop_id")
         .groupBy("shape_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("pos", "stop_id", "stop_lon", "stop_lat"))
+                F.collect_list(
+                    F.struct("pos", "stop_id", "stop_lon", "stop_lat", "stop_dist")
+                )
             ).alias("s")
         )
         .select(
@@ -202,6 +248,40 @@ def shapes_with_stop_sequences(
             F.transform("s", lambda r: r["stop_id"]).alias("stop_ids"),
             F.transform("s", lambda r: r["stop_lon"]).alias("stop_lons"),
             F.transform("s", lambda r: r["stop_lat"]).alias("stop_lats"),
+            F.transform("s", lambda r: r["stop_dist"]).alias("stop_dists"),
         )
     )
     return geo_shapes.select("shape_id", "xs", "ys").join(with_coords, "shape_id")
+
+
+def _seq_per_trip(trips: DataFrame, stop_times: DataFrame, sdt) -> DataFrame:
+    return (
+        stop_times.join(trips.select("trip_id", "shape_id"), "trip_id")
+        .groupBy("shape_id", "trip_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("stop_sequence", "stop_id", sdt.alias("sdt")))
+            ).alias("seq")
+        )
+        .select(
+            "shape_id",
+            F.transform("seq", lambda s: s["stop_id"]).alias("stop_ids"),
+            F.transform("seq", lambda s: s["sdt"]).alias("stop_dists"),
+        )
+    )
+
+
+def stop_sequence_conflicts(trips: DataFrame, stop_times: DataFrame) -> DataFrame:
+    """Shapes whose trips disagree on the stop sequence — the invariant the
+    reference enforces with a THROW (GeoJsonGtfsDAO/generators.js:207-227).
+    The engine collapses to the deterministic min sequence instead; this
+    surface (and the pipeline's stage metric built on it) makes the
+    collapse observable. Returns (shape_id, n_sequences) for conflicted
+    shapes."""
+    sdt = F.lit(None).cast("double")
+    return (
+        _seq_per_trip(trips, stop_times, sdt)
+        .groupBy("shape_id")
+        .agg(F.count_distinct("stop_ids").alias("n_sequences"))
+        .filter(F.col("n_sequences") > 1)
+    )

@@ -264,6 +264,121 @@ def choose_matches(refined: DataFrame) -> DataFrame:
     return chosen.withColumn("along_idx", F.rank().over(w))
 
 
+COSPATIALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id_a", T.LongType()),
+        T.StructField("segment_id_b", T.LongType()),
+        T.StructField("a_start_km", T.DoubleType()),
+        T.StructField("a_end_km", T.DoubleType()),
+        T.StructField("b_start_km", T.DoubleType()),
+        T.StructField("b_end_km", T.DoubleType()),
+        T.StructField("intxn_a_km", T.DoubleType()),
+        T.StructField("intxn_b_km", T.DoubleType()),
+    ]
+)
+
+
+def map_segments_cospatiality(
+    osm: DataFrame,
+    cell_deg: float = CELL_DEG,
+    radius_km: float = 0.005,
+) -> DataFrame:
+    """Stage-7 standalone cospatiality pair table — the reference's
+    map_segments_cospatiality (GtfsConflationMapJoinDAO/createTableFns.js:
+    3-24, loaders.js:195-274): for every pair of conflation-map segments
+    that overlap within the corridor radius, the overlap interval ON EACH
+    LINE from independent projections (kernels.cospatiality_two_sided).
+
+    Plan shape mirrors the flagship join: narrow cell-explode self-join ->
+    id_a < id_b dedupe -> JVM bbox prefilter -> array attach for survivors
+    -> one Arrow refine hop. Self-join keys are the same Morton cells, so
+    AQE skew-join covers urban-core hot cells."""
+    cover = make_cover_cells_udf(cell_deg, ring=0)
+    par = osm.sparkSession.sparkContext.defaultParallelism
+    cells = osm.repartition(par).select(
+        "segment_id", F.explode(cover("xs", "ys")).alias("cell")
+    )
+    pairs = (
+        cells.alias("x")
+        .join(cells.alias("y"), "cell")
+        .filter(F.col("x.segment_id") < F.col("y.segment_id"))
+        .select(
+            F.col("x.segment_id").alias("segment_id_a"),
+            F.col("y.segment_id").alias("segment_id_b"),
+        )
+        .distinct()
+    )
+    pad_lat = radius_km / 75.0
+    pad_lon = radius_km / 50.0
+    box = osm.select(
+        "segment_id",
+        F.array_min("xs").alias("x0"),
+        F.array_max("xs").alias("x1"),
+        F.array_min("ys").alias("y0"),
+        F.array_max("ys").alias("y1"),
+    )
+    near = (
+        pairs.join(
+            box.select(
+                F.col("segment_id").alias("segment_id_a"),
+                F.col("x0").alias("a_x0"), F.col("x1").alias("a_x1"),
+                F.col("y0").alias("a_y0"), F.col("y1").alias("a_y1"),
+            ),
+            "segment_id_a",
+        )
+        .join(
+            box.select(
+                F.col("segment_id").alias("segment_id_b"),
+                F.col("x0").alias("b_x0"), F.col("x1").alias("b_x1"),
+                F.col("y0").alias("b_y0"), F.col("y1").alias("b_y1"),
+            ),
+            "segment_id_b",
+        )
+        .filter(
+            (F.col("a_x0") - pad_lon <= F.col("b_x1"))
+            & (F.col("b_x0") - pad_lon <= F.col("a_x1"))
+            & (F.col("a_y0") - pad_lat <= F.col("b_y1"))
+            & (F.col("b_y0") - pad_lat <= F.col("a_y1"))
+        )
+        .select("segment_id_a", "segment_id_b")
+    )
+    geom = osm.select("segment_id", "xs", "ys")
+    attached = near.join(
+        geom.select(
+            F.col("segment_id").alias("segment_id_a"),
+            F.col("xs").alias("a_xs"), F.col("ys").alias("a_ys"),
+        ),
+        "segment_id_a",
+    ).join(
+        geom.select(
+            F.col("segment_id").alias("segment_id_b"),
+            F.col("xs").alias("b_xs"), F.col("ys").alias("b_ys"),
+        ),
+        "segment_id_b",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in COSPATIALITY_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                m = K.cospatiality_two_sided(
+                    np.asarray(r.a_xs), np.asarray(r.a_ys),
+                    np.asarray(r.b_xs), np.asarray(r.b_ys),
+                    radius_km=radius_km,
+                )
+                if m is None:
+                    continue
+                rows["segment_id_a"].append(r.segment_id_a)
+                rows["segment_id_b"].append(r.segment_id_b)
+                for k in ("a_start_km", "a_end_km", "b_start_km", "b_end_km"):
+                    rows[k].append(m[k])
+                rows["intxn_a_km"].append(m["intxn_a_km"])
+                rows["intxn_b_km"].append(m["intxn_b_km"])
+            yield pd.DataFrame(rows)
+
+    return attached.mapInPandas(kernel, COSPATIALITY_SCHEMA)
+
+
 def conflation_join(
     segments: DataFrame,
     osm: DataFrame,

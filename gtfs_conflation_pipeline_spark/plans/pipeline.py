@@ -8,8 +8,13 @@ Stage graph (each checkpointed with a per-partition lineage manifest):
   osm_segments    the OSM/conflation-map side (stage 6 analog)
   geo_shapes      stage 2: shape points -> polylines (groupBy + collect_list)
   geo_stops       stage 2: stops as typed points
-  net_segments    stage 3: stop-snapped stop-to-stop slices (grouped DP kernel)
-  matches         stage 4+7: the flagship cell-bucketed conflation join
+  net_segments    stage 3: stop-snapped stop-to-stop slices (grouped DP kernel;
+                  prefers stop_times.shape_dist_traveled when present)
+  refined         stage 4: cell-bucketed filter-refine candidate matches
+  matches         stage 4+7: greedy interval-cover choice + along ranking
+  match_paths     stage 4 Pass-B: graph path choice decomposition
+                  (gtfs_shape_shst_match_paths analog)
+  cospatiality    stage 7: map_segments_cospatiality pair table (two-sided)
   tiles           stage 9: raster-tile assignment per matched segment
 
 Every stage is resumable: `CheckpointManager.run_stage` skips any stage whose
@@ -122,8 +127,17 @@ def run_from_raw(
         )
         return snap.snap_and_slice(sws)
 
+    def _net_metrics(df: DataFrame) -> dict:
+        # slice-boundary provenance (shape_dist_traveled vs geometric snap;
+        # 'fallback' = failed the reference's +-10% unit sanity invariant)
+        # + the stop-sequence conflict counter (reference generators.js:207-227
+        # throws; we collapse deterministically and COUNT)
+        src = {r["dist_source"]: r["count"] for r in df.groupBy("dist_source").count().collect()}
+        conflicts = snap.stop_sequence_conflicts(raw["trips"], raw["stop_times"]).count()
+        return {"dist_source": src, "stop_sequence_conflicts": conflicts}
+
     out["net_segments"] = ckpt.run_stage(
-        spark, "net_segments", _net, rows_in_from="geo_shapes"
+        spark, "net_segments", _net, metrics_fn=_net_metrics, rows_in_from="geo_shapes"
     )
     if done("net_segments"):
         return out
@@ -178,6 +192,14 @@ def run_from_raw(
         lambda: tiles.assign_tiles(out["matches"], out["osm_segments"]),
         cell_col="tile_id",
         rows_in_from="matches",
+    )
+    # stage-7 standalone cospatiality pair table over the conflation map
+    # (map_segments_cospatiality, createTableFns.js:3-24)
+    out["cospatiality"] = ckpt.run_stage(
+        spark,
+        "cospatiality",
+        lambda: spatial_join.map_segments_cospatiality(out["osm_segments"]),
+        rows_in_from="osm_segments",
     )
     if done("tiles"):
         return out

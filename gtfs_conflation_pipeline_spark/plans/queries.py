@@ -1070,6 +1070,15 @@ def q_match_paths(spark, sf):
     )
 
 
+def q_map_cospatiality(spark, sf):
+    """Stage-7 map_segments_cospatiality pair table: conflation-map segment
+    pairs with overlap intervals on BOTH lines from independent projections
+    (createTableFns.js:3-24; two-sided semantics per
+    getCospatialityOfLinestrings.js:123-166). Verified vs a brute-force
+    numpy oracle incl. backtracking geometry in pytest; rows-only here."""
+    return _pipeline(spark)["cospatiality"].orderBy("segment_id_a", "segment_id_b")
+
+
 def q_service_dates(spark, sf):
     """Stage-5 calendar semantics (date series + dow flags + exceptions)."""
     return _pipeline(spark)["service_dates"].orderBy("service_id", "date")
@@ -1159,7 +1168,7 @@ spans AS (
   SELECT *,
          row_number() OVER (PARTITION BY trip_id, stop_id ORDER BY stop_sequence) AS from_visit,
          row_number() OVER (PARTITION BY trip_id, next_stop_id ORDER BY stop_sequence) AS to_visit
-  FROM sp0 WHERE next_stop_id IS NOT NULL),
+  FROM sp0 WHERE next_stop_id IS NOT NULL AND next_stop_id <> stop_id),
 segf AS (
   SELECT shape_id, from_stop_id AS stop_id, shape_index AS dptr_seg_idx,
          row_number() OVER (PARTITION BY shape_id, from_stop_id ORDER BY shape_index) AS from_visit
@@ -1333,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode_stats": q_image_decode_stats,
     "match_scores": q_match_scores,
     "match_paths": q_match_paths,
+    "map_cospatiality": q_map_cospatiality,
     "service_dates": q_service_dates,
     "scheduled_traffic": q_scheduled_traffic,
     "probe_data": q_probe_data,

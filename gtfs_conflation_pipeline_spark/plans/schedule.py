@@ -113,6 +113,11 @@ def scheduled_traffic(
             _hhmmss_to_sec(F.lead("arrival_time").over(w)).alias("arvl_time_sec"),
         )
         .filter(F.col("next_stop_id").isNotNull())
+        # duplicate stop_times rows (same stop twice in a row) are dwell
+        # time, not a traversal: drop the degenerate span BEFORE visit
+        # ranking so it doesn't consume a FIFO occurrence (the reference
+        # reconciles these away, GtfsScheduledTrafficDAO/loaders.js:86-104)
+        .filter(F.col("next_stop_id") != F.col("stop_id"))
     )
     # loop shapes: the reference's per-stop FIFO (TripTracker.js:70-289)
     # consumes repeated stop occurrences IN ORDER — a trip's Nth visit of a

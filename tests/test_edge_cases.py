@@ -114,3 +114,100 @@ def test_duplicate_stop_times_rows_produce_no_degenerate_spans(spark):
     tr = schedule.scheduled_traffic(trips, st, net).orderBy("dptr_seg_idx").collect()
     spans = [(r.dptr_seg_idx, r.arvl_seg_idx) for r in tr]
     assert spans == [(0, 1), (1, 2)]  # b->b dropped, a->b and b->c kept
+
+# ---------------------------------------------------------------------------
+# shape_dist_traveled wiring (reference prefers it over geometric snapping,
+# GeoJsonGtfsDAO/generators.js:19-94)
+# ---------------------------------------------------------------------------
+
+
+def _dist_feed(spark, dists):
+    """One straight shape, 3 stops; the MIDDLE stop's coordinates sit at the
+    50% point but shape_dist_traveled claims 25% — so the slice boundary
+    reveals which source was used."""
+    xs = [float(x) for x in np.round(np.linspace(-74.0, -73.98, 21), 6)]
+    ys = [42.0] * 21
+    geo_shapes = spark.createDataFrame(
+        [("s", xs, ys)], "shape_id string, xs array<double>, ys array<double>"
+    )
+    geo_stops = spark.createDataFrame(
+        [("a", xs[0], 42.0), ("b", xs[10], 42.0), ("c", xs[20], 42.0)],
+        "stop_id string, stop_lon double, stop_lat double",
+    )
+    trips = spark.createDataFrame(
+        [("r", "svc", "t1", "0", "s")],
+        "route_id string, service_id string, trip_id string, direction_id string,"
+        " shape_id string",
+    )
+    stop_times = spark.createDataFrame(
+        [
+            ("t1", "06:00:00", "06:00:00", "a", 1, dists[0]),
+            ("t1", "06:05:00", "06:05:00", "b", 2, dists[1]),
+            ("t1", "06:10:00", "06:10:00", "c", 3, dists[2]),
+        ],
+        "trip_id string, arrival_time string, departure_time string, stop_id string,"
+        " stop_sequence int, shape_dist_traveled double",
+    )
+    return snap.snap_and_slice(
+        snap.shapes_with_stop_sequences(geo_shapes, geo_stops, trips, stop_times)
+    ), K.polyline_length_km(np.asarray(xs), np.asarray(ys))
+
+
+@pytest.mark.parametrize("unit,per_km", [("km", 1.0), ("m", 1000.0), ("mi", 1/1.60934), ("ft", 5280/1.60934)])
+def test_shape_dist_traveled_preferred_over_geometry(spark, unit, per_km):
+    """With monotone finite shape_dist_traveled, slice boundaries come from
+    the (unit-inferred) dist values, not the geometric snap: the middle
+    boundary lands at the claimed 25%, not the geometric 50%."""
+    segs = None
+    import numpy as _np
+
+    # we only know total after building; build once with km then rescale
+    xs = _np.round(_np.linspace(-74.0, -73.98, 21), 6)
+    total = K.polyline_length_km(xs, _np.full(21, 42.0))
+    dists = [0.0, 0.25 * total * per_km, total * per_km]
+    df, total2 = _dist_feed(spark, dists)
+    segs = df.orderBy("shape_index").collect()
+    assert len(segs) == 2
+    assert all(s.dist_source == "dist" for s in segs)
+    assert segs[0].length_km == pytest.approx(0.25 * total, rel=0.01)
+    assert segs[1].length_km == pytest.approx(0.75 * total, rel=0.01)
+
+
+def test_shape_dist_traveled_sanity_fallback(spark):
+    """A last dist that misses every unit interpretation by >10% (the
+    reference's generators.js:84-88 throw) degrades to geometric snapping
+    with dist_source='fallback'."""
+    xs = np.round(np.linspace(-74.0, -73.98, 21), 6)
+    total = K.polyline_length_km(xs, np.full(21, 42.0))
+    df, _ = _dist_feed(spark, [0.0, 0.5 * total, 2.0 * total])
+    segs = df.orderBy("shape_index").collect()
+    assert len(segs) == 2
+    assert all(s.dist_source == "fallback" for s in segs)
+    # geometric: middle stop snaps at its true 50% location
+    assert segs[0].length_km == pytest.approx(0.5 * total, rel=0.01)
+
+
+def test_null_dists_use_geometry(spark):
+    df, _ = _dist_feed(spark, [None, None, None])
+    segs = df.orderBy("shape_index").collect()
+    assert all(s.dist_source == "geom" for s in segs)
+
+
+def test_stop_sequence_conflict_counter(spark):
+    """Two trips on one shape with DIFFERENT stop orders: the reference
+    throws (generators.js:207-227); the engine collapses deterministically
+    and the conflict surface reports the shape."""
+    trips = spark.createDataFrame(
+        [("r", "svc", "t1", "0", "s"), ("r", "svc", "t2", "0", "s")],
+        "route_id string, service_id string, trip_id string, direction_id string,"
+        " shape_id string",
+    )
+    rows = [
+        ("t1", "a", 1), ("t1", "b", 2), ("t1", "c", 3),
+        ("t2", "a", 1), ("t2", "c", 2), ("t2", "b", 3),  # conflicting order
+    ]
+    stop_times = spark.createDataFrame(
+        rows, "trip_id string, stop_id string, stop_sequence int"
+    )
+    c = snap.stop_sequence_conflicts(trips, stop_times).collect()
+    assert len(c) == 1 and c[0].shape_id == "s" and c[0].n_sequences == 2

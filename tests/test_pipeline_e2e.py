@@ -133,6 +133,75 @@ def test_match_paths_agree_with_greedy_at_pipeline_level(pipeline_out):
     assert agree / len(both) >= 0.9, f"only {agree}/{len(both)} segments agree"
 
 
+def test_cospatiality_two_sided_backtracking_kernel():
+    """The B interval must come from an independent projection: a B that
+    traverses A forward then backtracks is cospatial over its WHOLE length,
+    which min/max-of-A-snap-positions (corridor_match) understates."""
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    # A: straight 1 km west->east at lat 42
+    ax = np.linspace(-74.0, -73.9879, 30)
+    ay = np.full(30, 42.0)
+    # B: along A from 20% to 80%, then backtracking to 50%
+    fwd = np.linspace(-73.99758, -73.99032, 15)
+    back = np.linspace(-73.99032, -73.99395, 8)[1:]
+    bx = np.concatenate([fwd, back])
+    by = np.full(bx.size, 42.0)
+    b_len = K.polyline_length_km(bx, by)
+
+    two = K.cospatiality_two_sided(ax, ay, bx, by, radius_km=0.005)
+    one = K.corridor_match(ax, ay, bx, by, radius_km=0.005)
+    assert two is not None and one is not None
+    # two-sided: B cospatial over essentially its whole (backtracking) length
+    assert two["b_end_km"] - two["b_start_km"] == pytest.approx(b_len, rel=0.02)
+    # the one-sided min/max-of-snaps B interval loses the backtrack portion
+    assert (one["b_end_km"] - one["b_start_km"]) < 0.8 * b_len
+    # A interval identical between the two (same A-side projection)
+    assert two["a_start_km"] == pytest.approx(one["a_start_km"], abs=1e-12)
+    assert two["a_end_km"] == pytest.approx(one["a_end_km"], abs=1e-12)
+
+
+def test_cospatiality_pair_table_equals_bruteforce(pipeline_out):
+    """Spark map_segments_cospatiality (cell self-join + bbox prefilter +
+    Arrow kernel) == brute-force all-pairs numpy over the same OSM table:
+    any cell-recall miss or dedupe bug shows up as a row diff."""
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    _, out = pipeline_out
+    eng = (
+        out["cospatiality"]
+        .toPandas()
+        .sort_values(["segment_id_a", "segment_id_b"])
+        .reset_index(drop=True)
+    )
+    osm = out["osm_segments"].toPandas()
+    rows = []
+    segs = list(osm.itertuples(index=False))
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            a, b = segs[i], segs[j]
+            if a.segment_id > b.segment_id:
+                a, b = b, a
+            m = K.cospatiality_two_sided(
+                np.asarray(a.xs), np.asarray(a.ys),
+                np.asarray(b.xs), np.asarray(b.ys), radius_km=0.005,
+            )
+            if m is None:
+                continue
+            rows.append({"segment_id_a": a.segment_id, "segment_id_b": b.segment_id, **m})
+    orc = (
+        pd.DataFrame(rows)
+        .sort_values(["segment_id_a", "segment_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(orc), f"rows {len(eng)} != oracle {len(orc)}"
+    assert len(eng) > 0
+    for k in ["segment_id_a", "segment_id_b"]:
+        assert (eng[k].values == orc[k].values).all(), f"col {k}"
+    for k in ["a_start_km", "a_end_km", "b_start_km", "b_end_km", "intxn_a_km", "intxn_b_km"]:
+        assert np.allclose(eng[k].values, orc[k].values, atol=1e-12), f"col {k}"
+
+
 def test_dropped_chunks_unmatched(oracle_out, pipeline_out):
     """Fixture mode (s+c)%10==0 drops the OSM chunk — those slots must not
     produce full-coverage matches from the true segment, and distractor

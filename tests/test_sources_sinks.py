@@ -113,3 +113,41 @@ def test_polygon_query_matches_bruteforce(spark):
             expect.add(r.segment_id)
     assert set(got.segment_id) == expect
     assert pdf.iloc[0].segment_id in expect
+
+
+def test_cli_stage_commands_roundtrip(spark, raw, tmp_path):
+    """Reference-parity CLI smoke: load a GTFS zip + OSM parquet into a work
+    dir, run the stage commands in reference order, and check every stage
+    the command claims to materialize has a complete manifest (the
+    reference's per-stage SQLite resumability analog)."""
+    from types import SimpleNamespace
+
+    from gtfs_conflation_pipeline_spark import cli
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+
+    work = str(tmp_path / "work")
+    zpath = str(tmp_path / "feed.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for name in [
+            "shapes", "stops", "trips", "stop_times", "routes",
+            "calendar", "calendar_dates", "feed_info",
+        ]:
+            z.writestr(f"{name}.txt", raw[name].toPandas().to_csv(index=False))
+    cli.cmd_load_raw_gtfs(spark, SimpleNamespace(gtfs_zip=zpath, work_dir=work))
+
+    osm_path = str(tmp_path / "osm.parquet")
+    FX.osm_segments_table(spark, 500, partitions=4).write.parquet(osm_path)
+    cli.cmd_load_conflation_map(
+        spark, SimpleNamespace(osm_parquet=osm_path, work_dir=work)
+    )
+
+    args = SimpleNamespace(work_dir=work)
+    cli._run_stages(spark, args, "gtfs_osm_network")
+    ck = CheckpointManager(f"{work}/stages")
+    for st in ["geo_shapes", "net_segments", "matches", "match_paths", "match_scores"]:
+        assert ck.is_complete(st), st
+    # resume + widen: the map-join command reuses completed stages
+    cli._run_stages(spark, args, "gtfs_conflation_map_join")
+    assert ck.is_complete("tiles") and ck.is_complete("cospatiality")
+    assert ck.read(spark, "matches").count() > 0
+    assert ck.read(spark, "match_paths").count() > 0
