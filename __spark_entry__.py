@@ -4,14 +4,20 @@ entry(spark)   — flagship conflation join + tile assignment on the
                  deterministic synthetic fixture (sf0.001-scale).
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops); each callable: (spark, sf_dir) -> DataFrame.
-oracle_sql()   — matching ANSI SQL for DuckDB on the pre-registered views.
-                 Entries absent here (conflation_matches, tile_assignments,
-                 minhash_lsh, simhash_pairs, phash_neardup, lsh_ann,
-                 image_decode_stats) are non-SQL-expressible (geometry
-                 kernels / LSH / binary payload decode) and take the
-                 rows-only check; the geometry ones are instead verified
-                 exactly against a pure-numpy oracle in
-                 tests/test_pipeline_e2e.py.
+oracle_sql()   — matching ANSI SQL for DuckDB: the pre-registered testdata
+                 views for the relational queries, and (for the schedule
+                 stages service_dates / scheduled_traffic / probe_data /
+                 traffic_by_route / aadt_breakdown) read_parquet over each
+                 stage's direct-input checkpoints — run the Spark query
+                 first; it materializes them. Entries absent here
+                 (conflation_matches, tile_assignments, match_paths,
+                 map_cospatiality, match_scores, minhash_lsh, simhash_pairs,
+                 phash_neardup, lsh_ann, ivf_ann, image_decode_stats) are
+                 non-SQL-expressible (geometry kernels / LSH / binary
+                 payload decode) and take the rows-only check; the geometry
+                 ones are instead verified exactly against a pure-numpy
+                 oracle in tests/test_pipeline_e2e.py, and the LSH family
+                 against brute-force siblings in tests/test_dedup_recall.py.
 """
 
 from __future__ import annotations

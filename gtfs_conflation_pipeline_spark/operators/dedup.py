@@ -80,14 +80,18 @@ def _apply_df_cut(
     max_shingle_freq: int | None,
     auto_df_cut_min_docs: int,
     metrics_key: str,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Shared df-cut: drop shingles occurring in more than `max_shingle_freq`
     docs. When `max_shingle_freq` is None the cut auto-engages past
     `auto_df_cut_min_docs` documents (default-on skew guard at scale). The
     dropped-shingle count is logged and recorded in LAST_METRICS — never a
-    silent cap."""
+    silent cap. Pass `n_docs` when the corpus size is already known (e.g.
+    table statistics / a metadata-only parquet count) to skip the gating
+    count job."""
     if max_shingle_freq is None:
-        n_docs = df.count()
+        if n_docs is None:
+            n_docs = df.count()
         if n_docs <= auto_df_cut_min_docs:
             LAST_METRICS[metrics_key] = {
                 "df_cut": None, "n_docs": n_docs, "dropped_shingles": 0
@@ -121,6 +125,7 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = None,
     salt_hot_shingles: int | None = None,
     auto_df_cut_min_docs: int = AUTO_DF_CUT_MIN_DOCS,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
@@ -134,7 +139,9 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
-    sh = _apply_df_cut(sh, df, max_shingle_freq, auto_df_cut_min_docs, "ngram_jaccard")
+    sh = _apply_df_cut(
+        sh, df, max_shingle_freq, auto_df_cut_min_docs, "ngram_jaccard", n_docs=n_docs
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")

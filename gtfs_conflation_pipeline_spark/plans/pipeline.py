@@ -221,12 +221,28 @@ def run_from_raw(
         "service_dates",
         lambda: schedule.service_dates(raw["calendar"], raw["calendar_dates"]),
     )
+    def _traffic_metrics(df: DataFrame) -> dict:
+        # feed-level row-count reconciliation (the reference's runtime
+        # invariant, GtfsScheduledTrafficDAO/loaders.js:86-104): every trip
+        # with S stop visits should produce S-1 spans; shortfall = spans
+        # dropped by segment-join misses / degenerate slices. Recorded, not
+        # thrown — inspect the manifest when it drifts.
+        n_spans = df.count()
+        n_st = raw["stop_times"].count()
+        n_trips = raw["trips"].select("trip_id").distinct().count()
+        return {
+            "spans": n_spans,
+            "expected_spans": n_st - n_trips,
+            "reconciliation_shortfall": (n_st - n_trips) - n_spans,
+        }
+
     out["scheduled_traffic"] = ckpt.run_stage(
         spark,
         "scheduled_traffic",
         lambda: schedule.scheduled_traffic(
             raw["trips"], raw["stop_times"], out["net_segments"]
         ),
+        metrics_fn=_traffic_metrics,
     )
     if done("scheduled_traffic"):
         return out

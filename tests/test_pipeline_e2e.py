@@ -253,6 +253,20 @@ def test_manifest_lineage(pipeline_out):
     assert any("cells_touched" in p for p in tm["partitions"])
 
 
+def test_scheduled_traffic_reconciliation_metric(pipeline_out):
+    """Feed-level row-count reconciliation (reference
+    GtfsScheduledTrafficDAO/loaders.js:86-104): spans == stop_times rows -
+    trips on the clean fixture, and the shortfall is recorded in the stage
+    manifest."""
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+
+    d, out = pipeline_out
+    m = CheckpointManager(d).manifest("scheduled_traffic")["metrics"]
+    assert m["spans"] == out["scheduled_traffic"].count()
+    assert m["reconciliation_shortfall"] == 0
+    assert m["expected_spans"] == m["spans"]
+
+
 def test_payload_invariant_after_checkpoint(pipeline_out):
     """input_hint per-row invariant: decoded pixels + caption equality after
     checkpoint round-trip."""
