@@ -157,6 +157,47 @@ def deterministic_centroids(
     return np.array([list(r[0]) for r in rows], dtype=np.float64)
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    c_vec: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) refinement of the IVF coarse quantizer.
+
+    Each iteration: assignment via the existing Arrow-batched BLAS UDF (one
+    corpus scan), then the update as a JVM-side per-dimension aggregate
+    (element_at sums — no Python in the update path); the driver collects
+    only K centroid rows per iteration (bounded, like the reference's
+    16-row collect). Renormalizing the mean is the spherical k-means
+    update, so the mean cosine-to-assigned-centroid objective is
+    non-decreasing (asserted in tests). This is the k-means|| refinement
+    slot noted in round 1 — the IVF plumbing is unchanged."""
+    C = np.array(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = C.shape[1]
+    for _ in range(iters):
+        a = ivf_assignments(corpus, C, vec_col=c_vec, nprobe=1)
+        rows = (
+            a.groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.array(
+                    *[F.sum(F.element_at(F.col(c_vec), i + 1)) for i in range(dim)]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        C2 = C.copy()
+        for r in rows:
+            mean = np.asarray(r["s"], dtype=np.float64) / r["n"]
+            norm = np.linalg.norm(mean)
+            if norm > 1e-12:
+                C2[r["centroid_id"]] = mean / norm
+        C = C2
+    return C
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -167,15 +208,22 @@ def ivf_ann_topk(
     q_vec: str = "qvec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by coarse centroid (one scan,
     equi-join key per vector), queries probe their `nprobe` nearest
     centroids, exact cosine re-rank within the probed buckets.
 
+    refine_iters > 0 runs spherical k-means refinement of the strided seed
+    centroids (kmeans_refine) before bucketing — better-balanced buckets,
+    same plumbing.
+
     Scale shape: the corpus-side assignment materializes once; per query
     the candidate count is O(nprobe * bucket), not O(N), and the join is a
     plain equi-join on centroid_id."""
     cents = deterministic_centroids(corpus, n_centroids, c_id=c_id, c_vec=c_vec)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, c_vec=c_vec, iters=refine_iters)
     c_assigned = ivf_assignments(corpus, cents, vec_col=c_vec, nprobe=1)
     q_assigned = ivf_assignments(
         queries, cents, vec_col=q_vec, nprobe=nprobe

@@ -1115,6 +1115,14 @@ def q_aadt_breakdown(spark, sf):
     return _pipeline(spark)["aadt"].orderBy("segment_id")
 
 
+def q_traffic_overall(spark, sf):
+    """Stage-8 cross-route weighted-average traffic per (segment, dow,
+    epoch) (createTableFns.js:80-105)."""
+    return _pipeline(spark)["traffic"].orderBy(
+        "segment_id", "dow", "epoch"
+    )
+
+
 # --------------------------------------------------------------------------
 # Schedule-stage DuckDB oracles: each stage re-expressed in ANSI SQL over its
 # DIRECT INPUT stage checkpoints (the pipeline writes every stage — including
@@ -1263,6 +1271,17 @@ ORDER BY 1, 3, 4, 5
 """
 
 
+SQL_TRAFFIC_OVERALL = f"""
+SELECT segment_id, shst_reference, dow, epoch,
+       round(sum(avg_tt_sec * avg_weekly_count) / sum(avg_weekly_count), 3)
+           AS avg_tt_sec,
+       round(sum(avg_weekly_count), 1) AS avg_weekly_count
+FROM {_stage_pq('traffic_by_route')}
+GROUP BY segment_id, shst_reference, dow, epoch
+ORDER BY segment_id, dow, epoch
+"""
+
+
 SQL_AADT = f"""
 WITH br AS (
   SELECT *,
@@ -1355,6 +1374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "probe_data": q_probe_data,
     "traffic_by_route": q_traffic_by_route,
     "aadt_breakdown": q_aadt_breakdown,
+    "traffic_overall": q_traffic_overall,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1399,4 +1419,5 @@ ORACLE_SQL: dict[str, str] = {
     "probe_data": SQL_PROBE_DATA,
     "traffic_by_route": SQL_TRAFFIC_BY_ROUTE,
     "aadt_breakdown": SQL_AADT,
+    "traffic_overall": SQL_TRAFFIC_OVERALL,
 }

@@ -38,3 +38,41 @@ def test_ivf_full_probe_is_exact(spark, emb_q):
     exact = similarity.cosine_topk(q, emb, k=3).toPandas()
     full = similarity.ivf_ann_topk(q, emb, n_centroids=16, nprobe=16, k=3).toPandas()
     assert _recall(exact, full) == 1.0
+
+
+def test_kmeans_refine_improves_objective(spark, emb_q):
+    """Spherical k-means update: mean cosine to the assigned centroid is
+    non-decreasing over refinement iterations (renormalized mean is the
+    exact spherical Lloyd step)."""
+    import numpy as np
+
+    emb, _ = emb_q
+
+    def objective(C):
+        a = similarity.ivf_assignments(emb, C, vec_col="embedding", nprobe=1)
+        scored = a.select(
+            similarity._dot(
+                F.col("embedding"),
+                F.element_at(
+                    F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C]),
+                    F.col("centroid_id") + 1,
+                ),
+            ).alias("dot"),
+            similarity._norm(F.col("embedding")).alias("nrm"),
+        )
+        row = scored.select(F.avg(F.col("dot") / F.col("nrm"))).collect()[0][0]
+        return float(row)
+
+    seed = similarity.deterministic_centroids(emb, 16)
+    seed = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+    refined = similarity.kmeans_refine(emb, seed, iters=2)
+    assert objective(refined) >= objective(seed) - 1e-9
+
+
+def test_ivf_refined_full_probe_still_exact(spark, emb_q):
+    emb, q = emb_q
+    exact = similarity.cosine_topk(q, emb, k=3).toPandas()
+    full = similarity.ivf_ann_topk(
+        q, emb, n_centroids=16, nprobe=16, k=3, refine_iters=2
+    ).toPandas()
+    assert _recall(exact, full) == 1.0
