@@ -95,6 +95,45 @@ def decode_stats(images: DataFrame) -> DataFrame:
     )
 
 
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def image_embeddings(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Decode -> feature-extract: a deterministic per-channel histogram
+    embedding (3 x `bins`, L2-normalized) per image — the feature-extraction
+    plumbing that a learned encoder replaces on a real cluster. Identical
+    pixels => identical embeddings, near-duplicate pixels => near-parallel
+    embeddings, so the output column feeds the similarity/ANN/near-dup
+    operators directly (exercised in tests + the image_embed_topk query).
+
+    Arrow-batched mapInPandas; histogram is one numpy bincount per channel,
+    no per-row Python UDFs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                px = decode_image(b, w, h, f)
+                vec = np.concatenate(
+                    [
+                        np.bincount(px[:, :, c].ravel() >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                        for c in range(3)
+                    ]
+                ).astype(np.float64)
+                n = np.linalg.norm(vec)
+                out.append((vec / n if n > 0 else vec).tolist())
+            yield pd.DataFrame({"image_id": pdf["image_id"], "embedding": out})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, EMBED_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

@@ -157,6 +157,70 @@ def deterministic_centroids(
     return np.array([list(r[0]) for r in rows], dtype=np.float64)
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    probe_hamming: int = 3,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the embedding member of the dedup family.
+
+    Scale shape: ONE corpus scan materializes (signature, vec); candidates
+    come from a sign-LSH self-equi-join on `sig` with the left side
+    expanded by the <= probe_hamming multi-probe masks, so candidate count
+    is O(probes x bucket), never the O(N^2) all-pairs scan. Each candidate
+    is verified with the exact cosine, so false positives vanish; recall is
+    probabilistic in the signature (a pair at cosine c flips each plane
+    w.p. arccos(c)/pi — for near-dup thresholds >= 0.9 the hamming budget 3
+    over 12 planes recalls ~1; asserted vs the brute-force sibling in
+    tests). Each qualifying pair is emitted exactly once: the probe mask
+    that matches is unique (xor of the two signatures) and id_a < id_b
+    keeps one orientation."""
+    from itertools import combinations
+
+    planes = _hyperplanes(dim, n_planes)
+    sig = corpus.select(
+        F.col(c_id).alias("id"), F.col(c_vec).alias("v")
+    ).withColumn("sig", signature_bits(F.col("v"), planes))
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_hamming + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+    probes = (
+        sig.select(
+            "id",
+            "v",
+            "sig",
+            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_m"),
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("sig").bitwiseXOR(F.col("_m")).alias("sig"),
+        )
+    )
+    cands = probes.join(
+        sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig"), "sig"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: np.ndarray,

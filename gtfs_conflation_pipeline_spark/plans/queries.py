@@ -1048,6 +1048,90 @@ def q_lsh_ann(spark, sf):
     return similarity.lsh_ann_topk(q, emb, dim=64, k=3).orderBy("qid", "rank")
 
 
+def _emb_with_dups(spark, sf, limit=300):
+    """Embeddings capped at `limit` plus perturbed near-duplicate copies of
+    the first 50 (first element +0.01 — cosine ~0.9999): the testdata
+    embeddings are random (max pairwise cosine ~0.46), so near-dup operators
+    need constructed positives. The same construction is exact-arithmetic
+    expressible in DuckDB (list_prepend), keeping the oracle bit-compatible."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < limit).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    return e.unionByName(dup)
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs, EXACT sibling (capped brute-force
+    all-pairs — the SQL-expressible oracle twin of the LSH-bucketed
+    operator, same cap rationale as knn_1nn)."""
+    emb = _emb_with_dups(spark, sf)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300),
+dup AS (SELECT vec_id + 100000 AS vec_id, list_prepend(e[1] + 0.01, e[2:]) AS e
+        FROM base WHERE vec_id < 50),
+emb AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])) /
+         (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+          sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cosine
+FROM pairs WHERE round(cos, 4) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_neardup_lsh(spark, sf):
+    """Scale path of q_embedding_neardup: sign-LSH bucketed multi-probe
+    self-join over the FULL embeddings table (+constructed dups), exact
+    cosine verify. Recall vs the exact sibling asserted in pytest."""
+    emb = _emb_with_dups(spark, sf, limit=1 << 40)
+    return similarity.embedding_near_dups(emb, dim=64, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_image_embed_topk(spark, sf):
+    """Image -> histogram embedding -> cosine top-3 (decode + feature
+    extraction feeding the similarity operators; the multimodal bridge)."""
+    from ..operators import multimodal
+    from .. import fixtures as FX
+
+    img = FX.images_table(spark, 500, partitions=8)
+    emb = multimodal.image_embeddings(img)
+    q = emb.orderBy("image_id").limit(10).select(
+        F.col("image_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(
+        q, emb, k=3, q_id="qid", c_id="image_id", c_vec="embedding"
+    ).orderBy("qid", "rank")
+
+
 def q_ivf_ann(spark, sf):
     """IVF-bucketed ANN (coarse-quantizer variant of lsh_ann)."""
     emb = _t(spark, sf, "embeddings").select(
@@ -1365,6 +1449,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_neardup": q_phash_neardup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "image_embed_topk": q_image_embed_topk,
     "image_decode_stats": q_image_decode_stats,
     "match_scores": q_match_scores,
     "match_paths": q_match_paths,
@@ -1409,6 +1496,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "string_funcs": SQL_STRING_FUNCS,
     "quality_score": SQL_QUALITY,
     "case_buckets": SQL_CASE_BUCKETS,
