@@ -641,6 +641,119 @@ def corridor_match(ax, ay, bx, by, radius_km: float = 0.005):
     }
 
 
+def _midpoints_rows(X: np.ndarray, Y: np.ndarray):
+    """Row-wise midpoint interleave for (P, n) stacks (batched `midpoints`)."""
+    mx = (X[:, :-1] + X[:, 1:]) / 2.0
+    my = (Y[:, :-1] + Y[:, 1:]) / 2.0
+    P, n = X.shape
+    ox = np.empty((P, 2 * n - 1))
+    oy = np.empty_like(ox)
+    ox[:, 0::2] = X
+    ox[:, 1::2] = mx
+    oy[:, 0::2] = Y
+    oy[:, 1::2] = my
+    return ox, oy
+
+
+def corridor_match_batch(AX, AY, BX, BY, radius_km: float = 0.005):
+    """Vectorized `corridor_match` over P pairs stacked as (P, na)/(P, nb)
+    arrays (equal vertex counts within the stack).
+
+    Performs the SAME operations in the SAME per-row order as the scalar
+    kernel, so every output matches corridor_match bit-for-bit except
+    `mean_dev_km` on partially-within pairs (masked mean accumulates zeros
+    at masked slots — differs by <=1 ulp; asserted tight in tests and far
+    inside the e2e oracle tolerance). Exists because per-pair numpy on
+    ~20-point arrays is overhead-bound: packing ~100s of pairs per call
+    removes the ~1 ms/pair Python+dispatch cost from the refine hot loop.
+
+    Returns (valid_mask, dict of (P,) output arrays); invalid rows (short
+    line / no within-radius portion / sub-1 m intersection) have
+    valid_mask False.
+    """
+    AX = np.asarray(AX, dtype=np.float64)
+    AY = np.asarray(AY, dtype=np.float64)
+    BX = np.asarray(BX, dtype=np.float64)
+    BY = np.asarray(BY, dtype=np.float64)
+    P = AX.shape[0]
+    a_len = np.sum(haversine_km(AX[:, :-1], AY[:, :-1], AX[:, 1:], AY[:, 1:]), axis=1)
+    b_len = np.sum(haversine_km(BX[:, :-1], BY[:, :-1], BX[:, 1:], BY[:, 1:]), axis=1)
+    ok = (a_len >= SHORT_SEG_CUTOFF_KM) & (b_len >= SHORT_SEG_CUTOFF_KM)
+
+    AXD, AYD = AX, AY
+    for _ in range(2):
+        AXD, AYD = _midpoints_rows(AXD, AYD)
+    nd = AXD.shape[1]
+
+    # local plane per pair (mean latitude of concat(B, A_dense), exactly as
+    # snap_points_to_polyline's _local_plane sees it)
+    lat0 = np.concatenate([BY, AYD], axis=1).mean(axis=1)
+    kx = (DEG_KM * np.cos(np.radians(lat0)))[:, None]
+    ky = DEG_KM
+    X = BX * kx
+    Y = BY * ky
+    PXp = AXD * kx
+    PYp = AYD * ky
+    ax = X[:, None, :-1]
+    ay = Y[:, None, :-1]
+    bx = X[:, None, 1:]
+    by = Y[:, None, 1:]
+    dx = bx - ax
+    dy = by - ay
+    L2 = dx * dx + dy * dy
+    PX = PXp[:, :, None]
+    PY = PYp[:, :, None]
+    t = np.where(L2 > 0, ((PX - ax) * dx + (PY - ay) * dy) / np.where(L2 > 0, L2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (PX - cx) ** 2 + (PY - cy) ** 2
+    seg_idx = np.argmin(d2, axis=2)  # (P, nd)
+    pi = np.arange(P)[:, None]
+    ri = np.arange(nd)[None, :]
+    tt = t[pi, ri, seg_idx]
+    dev = np.sqrt(d2[pi, ri, seg_idx])
+
+    # along-B positions of the snaps (batched segmentize on B)
+    seg_len_b = haversine_km(BX[:, :-1], BY[:, :-1], BX[:, 1:], BY[:, 1:])
+    start_b = np.concatenate(
+        [np.zeros((P, 1)), np.cumsum(seg_len_b, axis=1)[:, :-1]], axis=1
+    )
+    along_b = start_b[pi, seg_idx] + tt * seg_len_b[pi, seg_idx]
+
+    # along-A positions of the densified vertices (batched segmentize on A)
+    seg_len_a = haversine_km(AXD[:, :-1], AYD[:, :-1], AXD[:, 1:], AYD[:, 1:])
+    start_a = np.concatenate(
+        [np.zeros((P, 1)), np.cumsum(seg_len_a, axis=1)[:, :-1]], axis=1
+    )
+    pos_a = np.concatenate([start_a, a_len[:, None]], axis=1)
+
+    within = dev <= radius_km
+    any_within = within.any(axis=1)
+    ok &= any_within
+    first = within.argmax(axis=1)
+    last = nd - 1 - within[:, ::-1].argmax(axis=1)
+    rows_p = np.arange(P)
+    a_start = pos_a[rows_p, first]
+    a_end = pos_a[rows_p, last]
+    intxn = a_end - a_start
+    ok &= intxn > 0.001
+    b_start = np.where(within, along_b, np.inf).min(axis=1)
+    b_end = np.where(within, along_b, -np.inf).max(axis=1)
+    n_within = within.sum(axis=1)
+    mean_dev = np.where(within, dev, 0.0).sum(axis=1) / np.maximum(n_within, 1)
+    max_dev = np.where(within, dev, -np.inf).max(axis=1)
+    return ok, {
+        "a_start_km": a_start,
+        "a_end_km": a_end,
+        "b_start_km": b_start,
+        "b_end_km": b_end,
+        "intxn_len_km": intxn,
+        "mean_dev_km": mean_dev,
+        "max_dev_km": max_dev,
+    }
+
+
 def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
     """Overlap of polylines A and B within a corridor radius.
 

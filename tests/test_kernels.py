@@ -272,3 +272,49 @@ def test_rmsd_meters():
     px = np.array([-73.995])
     py = np.array([42.00009])  # ~10 m north
     assert K.rmsd_m(px, py, xs, ys) == pytest.approx(10.0, rel=0.05)
+
+
+def test_corridor_match_batch_equals_scalar():
+    """Cross-pair packed kernel == scalar kernel per pair: bit-identical
+    intervals, <=1-ulp mean_dev (masked-mean accumulation), identical
+    validity — over full-within, partial-within, none-within, short-line
+    and sub-1m-intersection pairs."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    rng_base = -74.0
+    pairs = []
+    n = 21
+    xs = np.round(np.linspace(rng_base, rng_base + 0.02, n), 6)
+    ys = np.full(n, 42.0)
+    # full within: B == A offset by 5e-6 deg (<1 m)
+    pairs.append((xs, ys, xs + 5e-6, ys))
+    # partial: B covers only the first half of A's corridor
+    pairs.append((xs, ys, xs[: n // 2 + 1], ys[: n // 2 + 1]))
+    # none: B far away
+    pairs.append((xs, ys, xs + 0.01, ys))
+    # offset at the corridor edge (irregular within-mask)
+    pairs.append((xs, ys, xs, ys + 2.6e-4))
+    # wiggly B
+    pairs.append((xs, ys, xs, ys + 1e-5 * np.sin(np.arange(n))))
+
+    # group pairs by B length for stacking
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for p in pairs:
+        groups[len(p[2])].append(p)
+    for _, grp in groups.items():
+        AX = np.stack([p[0] for p in grp]); AY = np.stack([p[1] for p in grp])
+        BX = np.stack([p[2] for p in grp]); BY = np.stack([p[3] for p in grp])
+        ok, m = K.corridor_match_batch(AX, AY, BX, BY, radius_km=0.0003)
+        for i, p in enumerate(grp):
+            s = K.corridor_match(p[0], p[1], p[2], p[3], radius_km=0.0003)
+            assert bool(ok[i]) == (s is not None)
+            if s is None:
+                continue
+            for k in ("a_start_km", "a_end_km", "b_start_km", "b_end_km",
+                      "intxn_len_km", "max_dev_km"):
+                assert m[k][i] == s[k], k
+            assert abs(m["mean_dev_km"][i] - s["mean_dev_km"]) <= 1e-15
