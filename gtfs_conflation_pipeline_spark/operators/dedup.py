@@ -261,6 +261,70 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 48
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc, cluster) where
+    cluster = the MIN doc id in the component — the step that turns pair
+    lists (exact/minhash/simhash/embedding near-dups) into dedup decisions
+    (keep one canonical doc per cluster).
+
+    Min-label propagation (the label-propagation half of large-star /
+    small-star): each iteration joins labels across undirected edges and
+    takes the per-node min; converges in O(diameter) iterations — near-dup
+    graphs are short chains/cliques, so typically 2-4. Each iteration is
+    one shuffle join + one aggregation; the fixpoint check is a count of
+    changed labels (driver sees one number per iteration, never rows).
+    Iterative => not SQL-expressible; verified against a pure-Python
+    union-find oracle in tests."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    labels.persist()
+    for i in range(max_iters):
+        nbr = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new.persist()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        LAST_METRICS["dedup_clusters"] = {"iterations": i + 1, "last_changed": changed}
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def keep_canonical(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every near-duplicate except the cluster's canonical (min-id)
+    member: anti-join on the non-canonical cluster rows. Docs in no cluster
+    pass through untouched."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash48(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """48-bit SimHash per doc from word hashes (word_hash is md5-48), fully
     JVM-side.

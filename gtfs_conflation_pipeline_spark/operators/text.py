@@ -65,6 +65,30 @@ def lang_id(text: Column) -> Column:
     return F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other"))
 
 
+BPE_PIECE_LEN = 4  # empirical subword length (~4 chars/token for English BPEs)
+
+
+def regex_tokens(text: Column) -> Column:
+    """Regex tokenization: alphanumeric runs + single punctuation marks
+    (ASCII classes — identical semantics in Spark's Java regex and
+    DuckDB's RE2, keeping the oracle portable)."""
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token count estimate: each regex token contributes
+    ceil(len/BPE_PIECE_LEN) subword pieces — the standard
+    chars-per-token approximation for budgeting LLM training data when the
+    real tokenizer isn't on the cluster. Pure JVM HOF arithmetic."""
+    toks = regex_tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.ceil(F.length(t) / F.lit(float(BPE_PIECE_LEN))).cast("long"),
+    )
+
+
 def word_hash(word: Column) -> Column:
     """Portable 48-bit word hash: first 12 hex chars of md5, as a long.
     Identical in DuckDB: ('0x' || substr(md5(w), 1, 12))::BIGINT."""

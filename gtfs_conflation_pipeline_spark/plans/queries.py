@@ -861,6 +861,28 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, pred
 """
 
 
+def q_token_estimate(spark, sf):
+    """Regex tokenization + BPE-ish subword count estimate per document
+    (the chars-per-token budgeting pass of a training-data pipeline)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.regex_tokens(F.col("text"))).alias("n_regex_tokens"),
+        text.bpe_token_estimate(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_ESTIMATE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::INT
+           AS n_regex_tokens,
+       coalesce(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+           t -> ceil(length(t) / 4.0))), 0)::BIGINT AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_fingerprint(spark, sf):
     """Position-weighted rolling document fingerprint (md5-48 word hashes)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
@@ -1023,6 +1045,16 @@ def q_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(
         _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup clusters from MinHash-LSH pairs (min-label-propagation
+    connected components; iterative => rows-only, union-find-oracled in
+    pytest). Output: (doc_id, cluster) for every doc in a dup cluster."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5
+    )
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
 def q_simhash_pairs(spark, sf):
@@ -1435,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
+    "token_estimate": q_token_estimate,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
@@ -1445,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conflation_matches": q_conflation_matches,
     "tile_assignments": q_tile_assignments,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
     "lsh_ann": q_lsh_ann,
@@ -1493,6 +1527,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
+    "token_estimate": SQL_TOKEN_ESTIMATE,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -242,3 +242,46 @@ def test_ngram_auto_df_cut_engages_and_reports(spark):
     m2 = dedup.LAST_METRICS["ngram_jaccard"]
     assert m2["dropped_shingles"] >= 1
     assert n_pairs2 <= n_pairs
+
+
+def _union_find_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Min-label propagation == union-find on chains, cliques, a long path
+    (multi-iteration convergence) and isolated pairs."""
+    pairs = (
+        [(1, 2), (2, 3), (3, 4)]            # chain
+        + [(10, 11), (10, 12), (11, 12)]     # clique
+        + [(20, 21)]                          # isolated pair
+        + [(i, i + 1) for i in range(30, 40)]  # long path (diameter 10)
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(df).collect()}
+    want = _union_find_oracle(pairs)
+    assert got == want
+    assert dedup.LAST_METRICS["dedup_clusters"]["last_changed"] == 0
+
+
+def test_keep_canonical_drops_all_but_min(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    clusters = dedup.dedup_clusters(pairs)
+    kept = dedup.keep_canonical(docs, clusters)
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
