@@ -80,3 +80,40 @@ def epoch_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "10 minutes",
+):
+    """Streaming exact deduplication: the first-seen document per content
+    hash passes, later byte-identical arrivals are dropped.
+
+    Uses dropDuplicatesWithinWatermark, so dedup state is BOUNDED — a
+    content hash is evicted once its event time falls behind the watermark
+    (the 100 TB/day ingestion shape: state size is O(docs per watermark
+    window), not O(all docs ever)). Batch invariant asserted in tests: the
+    drained stream emits exactly one row per distinct content hash, and the
+    set of hashes equals the batch count-distinct.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("content_hash", F.md5(F.col("text")))
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

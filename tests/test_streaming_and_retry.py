@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gtfs_conflation_pipeline_spark import fixtures as FX
 from gtfs_conflation_pipeline_spark.operators import spatial_join
 from gtfs_conflation_pipeline_spark.streaming.windows import (
+    dedup_stream,
     epoch_counts_batch,
     epoch_counts_stream,
 )
@@ -30,6 +31,29 @@ def test_stream_equals_batch(spark, tmp_path):
         spark.table("epoch_counts").orderBy("window_start", "event_type").toPandas()
     )
     pd.testing.assert_frame_equal(got, batch)
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, tmp_path):
+    """Streaming exact dedup (bounded watermark state): the drained stream
+    emits exactly one row per distinct content hash and the hash set equals
+    the batch count-distinct."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    # 2x duplication + synthetic event times
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 06:00:00"))
+        + F.make_interval(secs=F.col("doc_id") % 600),
+    )
+    src = str(tmp_path / "dedup_src")
+    both.repartition(6).write.parquet(src)
+    static = spark.read.parquet(src)
+    n_distinct = static.select(F.md5("text")).distinct().count()
+    q = dedup_stream(spark, src, str(tmp_path / "dedup_ckpt"), static.schema)
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").toPandas()
+    assert len(got) == n_distinct
+    assert got.content_hash.nunique() == n_distinct
 
 
 def _mini_net(spark):
