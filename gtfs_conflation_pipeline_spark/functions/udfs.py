@@ -51,14 +51,17 @@ def make_cover_cells_udf(cell_deg: float, ring: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cover_cells(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = []
+        dx, dy = [], []
         for x, y in zip(xs, ys):
             x = np.asarray(x, dtype=np.float64)
             y = np.asarray(y, dtype=np.float64)
             if x.size >= 2:
                 x, y = K.midpoints(x, y)
-            out.append(K.cell_cover_of_points(x, y, cell_deg, ring=ring))
-        return pd.Series(out)
+            dx.append(x)
+            dy.append(y)
+        # one vectorized pass for the whole Arrow batch (per-row
+        # unique(axis=0) was the candidate-generation bottleneck)
+        return pd.Series(K.cell_cover_rows(dx, dy, cell_deg, ring=ring))
 
     return cover_cells
 

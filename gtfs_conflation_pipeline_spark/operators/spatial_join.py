@@ -223,7 +223,9 @@ def refine(pairs: DataFrame, corridor_km: float = CORRIDOR_KM) -> DataFrame:
     return pairs.mapInPandas(kernel, REFINE_SCHEMA)
 
 
-def choose_matches(refined: DataFrame) -> DataFrame:
+def choose_matches(
+    refined: DataFrame, max_candidates_per_segment: int | None = None
+) -> DataFrame:
     """Phase 3+4: deterministic greedy interval cover per GTFS segment,
     then the along-index RANK (loaders.js:357-366).
 
@@ -266,6 +268,22 @@ def choose_matches(refined: DataFrame) -> DataFrame:
     filtered = refined.filter(
         F.col("intxn_len_km") / F.col("g_len_km") >= MIN_COVER_RATIO
     )
+    if max_candidates_per_segment is not None:
+        # skew guard for pathological segments (urban-core map data can put
+        # thousands of candidates on one GTFS segment — one collect_list
+        # group): keep the TOP-N in the exact greedy consideration order, so
+        # the cover sees the same prefix it would have consumed first. A
+        # low-ranked DISJOINT candidate beyond the cap could have been kept,
+        # so this is an explicit recall-bounded guard (opt-in, like the
+        # dedup df-cut) — never a silent default.
+        w_cap = Window.partitionBy("shape_id", "shape_index").orderBy(
+            F.desc("intxn_len_km"), "mean_dev_km", "shst_reference", "segment_id"
+        )
+        filtered = (
+            filtered.withColumn("_cap_rn", F.row_number().over(w_cap))
+            .filter(F.col("_cap_rn") <= max_candidates_per_segment)
+            .drop("_cap_rn")
+        )
     cand_cols = [f.name for f in REFINE_SCHEMA.fields if f.name not in ("shape_id", "shape_index")]
     grouped = filtered.groupBy("shape_id", "shape_index").agg(
         F.collect_list(F.struct(*cand_cols)).alias("cands")

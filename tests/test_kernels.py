@@ -318,3 +318,25 @@ def test_corridor_match_batch_equals_scalar():
                       "intxn_len_km", "max_dev_km"):
                 assert m[k][i] == s[k], k
             assert abs(m["mean_dev_km"][i] - s["mean_dev_km"]) <= 1e-15
+
+
+def test_cell_cover_rows_equals_per_row():
+    """Vectorized multi-row cover == per-row cell_cover_of_points as SETS,
+    for ring 0 and 1, mixed row lengths, negative coords, empty rows."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (np.array([-74.0, -73.99, -73.98]), np.array([42.0, 42.001, 42.0])),
+        (np.array([0.0005]), np.array([-0.0005])),
+        (rng.uniform(-75, -73, 40), rng.uniform(41, 43, 40)),
+        (np.empty(0), np.empty(0)),
+        (np.array([179.9995, -179.9995]), np.array([0.0, 0.0])),
+    ]
+    for ring in (0, 1):
+        got = K.cell_cover_rows([r[0] for r in rows], [r[1] for r in rows], 0.002, ring=ring)
+        for (x, y), g in zip(rows, got):
+            want = K.cell_cover_of_points(x, y, 0.002, ring=ring) if x.size else np.empty(0)
+            assert set(g.tolist()) == set(np.asarray(want).tolist())

@@ -71,3 +71,34 @@ def test_left_join_semantics_preserved(spark):
         .collect()
     )
     assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+
+
+def test_choose_matches_candidate_cap(spark):
+    """Opt-in per-segment candidate cap: with cap >= candidate count the
+    output is IDENTICAL to the uncapped chooser; with a forcing cap the
+    group size is bounded and kept candidates are the greedy-order prefix."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gtfs_conflation_pipeline_spark.operators import spatial_join
+
+    # one segment, 6 disjoint candidates in descending-length order
+    rows = []
+    for i in range(6):
+        rows.append((
+            "s", 0, i, f"r{i}", 1,
+            i * 0.1, i * 0.1 + 0.09 - i * 0.01,  # disjoint, shrinking
+            0.0, 0.09, 0.09 - i * 0.01, 1e-4 * (i + 1), 1e-3, 0.3,
+        ))
+    refined = spark.createDataFrame(
+        rows,
+        "shape_id string, shape_index int, segment_id long, shst_reference string,"
+        " networklevel int, section_start double, section_end double,"
+        " osm_start double, osm_end double, intxn_len_km double,"
+        " mean_dev_km double, max_dev_km double, g_len_km double",
+    )
+    full = spatial_join.choose_matches(refined).collect()
+    same = spatial_join.choose_matches(refined, max_candidates_per_segment=10).collect()
+    assert sorted(r.segment_id for r in same) == sorted(r.segment_id for r in full)
+    capped = spatial_join.choose_matches(refined, max_candidates_per_segment=3).collect()
+    assert sorted(r.segment_id for r in capped) == [0, 1, 2]  # greedy-order prefix
