@@ -1,0 +1,45 @@
+"""Bucketed (co-located) table storage — shuffle-free repeated joins.
+
+At 100 TB the conflation pipeline joins the same keys over and over
+(shape_id between net segments / matches / traffic; segment_id between
+matches / tiles / probes). Writing both sides bucketed on the join key with
+the same bucket count lets EVERY subsequent equi-join run without an
+Exchange: Spark's scan reports the bucketed HashPartitioning, so
+SortMergeJoin consumes the tables in place. This is the storage-level
+analog of the reference's per-stage SQLite indexes (DbService/index.js) —
+pay the partitioning once at write time, reuse it every query.
+
+Local-mode note: bucketing requires saveAsTable (a catalog), so these
+helpers manage named tables in the session's warehouse dir. On a real
+cluster the same calls target the production catalog unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist `df` bucketed (and optionally sorted) on the join key."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def join_is_shuffle_free(joined: DataFrame) -> bool:
+    """True iff the executed plan contains NO shuffle Exchange — the
+    co-location proof for a join of two same-bucketed tables (used by
+    tests and plan audits)."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan and "Exchange rangepartitioning" not in plan

@@ -151,3 +151,27 @@ def test_cli_stage_commands_roundtrip(spark, raw, tmp_path):
     assert ck.is_complete("tiles") and ck.is_complete("cospatiality")
     assert ck.read(spark, "matches").count() > 0
     assert ck.read(spark, "match_paths").count() > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, raw, tmp_path):
+    """Both sides written bucketed on the join key => the equi-join runs
+    with NO Exchange (co-located storage join), and results equal the
+    plain-join baseline."""
+    from pyspark.sql import functions as F2
+
+    from gtfs_conflation_pipeline_spark.sources import bucketed
+
+    trips = raw["trips"]
+    st = raw["stop_times"]
+    bucketed.write_bucketed(trips, "b_trips", ["trip_id"], n_buckets=8, sort_cols=["trip_id"])
+    bucketed.write_bucketed(st, "b_stop_times", ["trip_id"], n_buckets=8, sort_cols=["trip_id"])
+    bt = bucketed.read_table(spark, "b_trips")
+    bs = bucketed.read_table(spark, "b_stop_times")
+    joined = bs.join(bt, "trip_id").groupBy("route_id").agg(F2.count(F2.lit(1)).alias("n"))
+    assert bucketed.join_is_shuffle_free(bs.join(bt, "trip_id"))
+    base = (
+        st.join(trips, "trip_id").groupBy("route_id").agg(F2.count(F2.lit(1)).alias("n"))
+        .orderBy("route_id").collect()
+    )
+    got = joined.orderBy("route_id").collect()
+    assert got == base
