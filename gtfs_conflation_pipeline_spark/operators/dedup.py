@@ -281,13 +281,22 @@ def dedup_clusters(
     Iterative => not SQL-expressible; verified against a pure-Python
     union-find oracle in tests."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    und = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    labels = (
-        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    # localCheckpoint TRUNCATES LINEAGE each iteration — without it the
+    # logical plan embeds the previous iteration twice (union + join) and
+    # grows exponentially, melting Catalyst analysis by iteration ~10
+    # (persist alone does NOT truncate the plan). Standard discipline for
+    # any iterative DataFrame algorithm.
+    und = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels.persist()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     for i in range(max_iters):
         nbr = und.join(labels, und["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -297,15 +306,14 @@ def dedup_clusters(
             .union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        new.persist()
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new
         LAST_METRICS["dedup_clusters"] = {"iterations": i + 1, "last_changed": changed}
         if changed == 0:

@@ -26,7 +26,20 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Persist `df` bucketed (and optionally sorted) on the join key."""
+    """Persist `df` bucketed (and optionally sorted) on the join key.
+
+    Self-cleaning: drops a pre-existing catalog entry AND an orphaned
+    managed-table location (a killed previous session leaves the warehouse
+    directory behind without a catalog row, which would fail the write
+    with LOCATION_ALREADY_EXISTS)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{loc}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
