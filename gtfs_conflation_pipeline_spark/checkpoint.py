@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sources import bucketed as B
+
 MANIFEST = "_manifest.json"
 
 
@@ -44,6 +46,15 @@ class CheckpointManager:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self._dir(stage), MANIFEST)
 
+    def _table_name(self, stage: str) -> str:
+        """Catalog table name for a bucketed stage: unique per checkpoint
+        root so two pipelines (e.g. the entry fixture and a query cache)
+        never collide on the same stage name."""
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        return f"ckpt_{h}_{stage}".replace("-", "_").replace(".", "_")
+
     # -- protocol ------------------------------------------------------------
     def is_complete(self, stage: str) -> bool:
         p = self._manifest_path(stage)
@@ -56,7 +67,29 @@ class CheckpointManager:
             return False
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self._data(stage))
+        """Read a completed stage. Bucketed stages come back through the
+        catalog so every read carries the bucketed HashPartitioning
+        (shuffle-free downstream joins); the catalog row is re-created from
+        the manifest's recorded spec when a fresh session lacks it (the
+        in-memory catalog dies with the session; the files don't)."""
+        spec = None
+        if os.path.exists(self._manifest_path(stage)):
+            spec = self.manifest(stage).get("bucketed")
+        if not spec:
+            return spark.read.parquet(self._data(stage))
+        tbl = spec["table"]
+        d = self._data(stage)
+        if B.table_location(spark, tbl) != d:
+            B.register_bucketed(
+                spark,
+                tbl,
+                spec["schema_ddl"],
+                spec["bucket_cols"],
+                spec["n_buckets"],
+                d,
+                sort_cols=spec.get("sort_cols"),
+            )
+        return spark.table(tbl)
 
     def manifest(self, stage: str) -> dict:
         with open(self._manifest_path(stage)) as f:
@@ -71,6 +104,9 @@ class CheckpointManager:
         num_files: int | None = None,
         rows_in_from: str | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 32,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         """Write a stage output + per-partition lineage manifest.
 
@@ -81,6 +117,15 @@ class CheckpointManager:
         ``partition_by``: hive-style partition columns (the parquet analog
         of an Iceberg partition spec) — downstream queries that filter on
         them get partition pruning at the scan.
+
+        ``bucket_by``: write the stage CO-LOCATED on the given join key
+        (sources.bucketed): the files still land under ``data/`` as plain
+        parquet (external readers — and the DuckDB stage oracles — are
+        unaffected), but reads go through the catalog and report the
+        bucketed HashPartitioning, so every downstream equi-join or
+        aggregation on (a superset of) the bucket key skips its Exchange.
+        The bucket spec is recorded in the manifest and re-registered on
+        resume in a fresh session.
         """
         spark = df.sparkSession
         d = self._data(stage)
@@ -89,15 +134,33 @@ class CheckpointManager:
             os.remove(self._manifest_path(stage))
 
         t0 = time.time()
-        if num_files:
-            # a stage output that downstream kernel stages scan should have
-            # >= cluster-parallelism files, or the scan caps their task count
-            df = df.repartition(num_files)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(d)
-        out = spark.read.parquet(d)
+        bucket_spec = None
+        if bucket_by:
+            if partition_by:
+                raise ValueError("bucket_by and partition_by are mutually exclusive")
+            tbl = self._table_name(stage)
+            B.write_bucketed(
+                df, tbl, bucket_by, n_buckets=n_buckets, sort_cols=sort_by, path=d
+            )
+            out = spark.table(tbl)
+            bucket_spec = {
+                "table": tbl,
+                "bucket_cols": list(bucket_by),
+                "n_buckets": n_buckets,
+                "sort_cols": list(sort_by) if sort_by else None,
+                "schema_ddl": B.schema_ddl(out.schema),
+            }
+        else:
+            if num_files:
+                # a stage output that downstream kernel stages scan should
+                # have >= cluster-parallelism files, or the scan caps their
+                # task count
+                df = df.repartition(num_files)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(d)
+            out = spark.read.parquet(d)
 
         # per-file (== per written partition) lineage rows
         agg = [F.count(F.lit(1)).alias("rows_out")]
@@ -120,6 +183,7 @@ class CheckpointManager:
             "wall_sec": round(time.time() - t0, 3),
             "rows_out": sum(r["rows_out"] for r in part_rows),
             "n_partitions": len(part_rows),
+            "bucketed": bucket_spec,
             "partitions": [
                 {
                     "file": os.path.basename(r["file"]),
@@ -148,6 +212,9 @@ class CheckpointManager:
         cell_col: str | None = None,
         num_files: int | None = None,
         rows_in_from: str | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 32,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         """Compute-or-resume: skip ``fn`` entirely if the stage's manifest is
         complete (the reference's per-stage re-runnability, run:41-49)."""
@@ -164,6 +231,9 @@ class CheckpointManager:
             cell_col=cell_col,
             num_files=num_files,
             rows_in_from=rows_in_from,
+            bucket_by=bucket_by,
+            n_buckets=n_buckets,
+            sort_by=sort_by,
         )
 
     def invalidate(self, stage: str) -> None:

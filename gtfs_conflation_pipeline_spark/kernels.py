@@ -219,6 +219,14 @@ def cell_cover_rows(
     cell_cover_of_points (packing and morton are bijective on grid pairs);
     ordering within a row unspecified (consumers explode + join)."""
     out = []
+    # iy is biased by +ring before packing so a dgy=-1 offset at iy=0 (lat
+    # within cell_deg of -90) can never borrow from the ix half of the
+    # packed key — without the bias the decode at that domain edge yields
+    # (ix-1, 0xFFFFFFFF) while cell_cover_of_points yields (ix, -1),
+    # breaking the identical-cell-sets contract (round-3 ADVICE). The bias
+    # is subtracted after unpacking, so emitted (ix, iy+dgy) pairs match
+    # cell_cover_of_points exactly, including negative iy.
+    bias = np.int64(ring)
     if ring > 0:
         offs = np.arange(-ring, ring + 1, dtype=np.int64)
         dgx, dgy = np.meshgrid(offs, offs)
@@ -231,11 +239,15 @@ def cell_cover_rows(
             continue
         ix = np.floor((x + 180.0) / cell_deg).astype(np.int64)
         iy = np.floor((y + 90.0) / cell_deg).astype(np.int64)
-        # pack (ix, iy) into one int64 (grid indices fit 32 bits; iy >= 0)
-        packed = np.unique((ix << np.int64(32)) + iy)
+        # pack (ix, iy+bias) into one int64 (grid indices fit 32 bits)
+        packed = np.unique((ix << np.int64(32)) + iy + bias)
         if ring > 0:
             packed = np.unique((packed[:, None] + doff[None, :]).ravel())
-        out.append(morton64(packed >> np.int64(32), packed & np.int64(0xFFFFFFFF)).astype(np.int64))
+        out.append(
+            morton64(
+                packed >> np.int64(32), (packed & np.int64(0xFFFFFFFF)) - bias
+            ).astype(np.int64)
+        )
     return out
 
 

@@ -102,8 +102,16 @@ def _apply_df_cut(
             "%s: auto df-cut engaged (%d docs > %d): max_shingle_freq=%d",
             metrics_key, n_docs, auto_df_cut_min_docs, max_shingle_freq,
         )
+    # ONE shingle-frequency aggregation total (round-3: the old code ran it
+    # twice — once for the dropped-count metric, once for the join): the HOT
+    # side (df > cut) is persisted, counted once for the metric, and reused
+    # by the join. Broadcasting the HOT list (tiny by construction — these
+    # are the >cut stopword shingles) and anti-joining is also the
+    # 100-TB-correct plan; the previous version broadcast the KEPT freq
+    # table, which at web scale is nearly every distinct shingle.
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-    dropped = freq.filter(F.col("df_") > max_shingle_freq).count()
+    hot = freq.filter(F.col("df_") > max_shingle_freq).select("sh").persist()
+    dropped = hot.count()  # materializes `hot`; the anti-join below reuses it
     LAST_METRICS[metrics_key] = {
         "df_cut": max_shingle_freq,
         "dropped_shingles": dropped,
@@ -113,7 +121,7 @@ def _apply_df_cut(
             "%s: df-cut dropped %d shingles with df > %d",
             metrics_key, dropped, max_shingle_freq,
         )
-    return sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_freq)), "sh")
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -266,37 +274,55 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc, cluster) where
     cluster = the MIN doc id in the component — the step that turns pair
     lists (exact/minhash/simhash/embedding near-dups) into dedup decisions
     (keep one canonical doc per cluster).
 
-    Min-label propagation (the label-propagation half of large-star /
-    small-star): each iteration joins labels across undirected edges and
-    takes the per-node min; converges in O(diameter) iterations — near-dup
-    graphs are short chains/cliques, so typically 2-4. Each iteration is
-    one shuffle join + one aggregation; the fixpoint check is a count of
-    changed labels (driver sees one number per iteration, never rows).
-    Iterative => not SQL-expressible; verified against a pure-Python
-    union-find oracle in tests."""
+    Min-label propagation PLUS pointer jumping (label <- label-of-label
+    each iteration, the Wylie shortcut of large-star/small-star): the
+    neighbor hop alone converges in O(diameter), the added jump makes it
+    O(log diameter) — so `max_iters=20` covers chain components of length
+    ~2^20, not 20 (templated web docs with drifting content form exactly
+    such long chains). Each iteration is two shuffle joins + one
+    aggregation; the fixpoint check is a count of changed labels (driver
+    sees one number per iteration, never rows). If the loop still exhausts
+    with labels changing, that is NEVER silent: log.warning + a
+    `converged: False` LAST_METRICS record, or a RuntimeError with
+    `strict=True`. Iterative => not SQL-expressible; verified against a
+    pure-Python union-find oracle in tests (both checkpoint modes).
+
+    `checkpoint_dir`: when set, iterations truncate lineage with RELIABLE
+    checkpoints written under that directory (HDFS/object-store path on a
+    real cluster) instead of `localCheckpoint` — localCheckpoint blocks are
+    non-replicated, so an executor loss mid-loop kills the job; reliable
+    checkpoints survive it (round-2 VERDICT caveat, now optional)."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        # localCheckpoint TRUNCATES LINEAGE each iteration — without it the
+        # logical plan embeds the previous iteration twice (union + join)
+        # and grows exponentially, melting Catalyst analysis by iteration
+        # ~10 (persist alone does NOT truncate the plan). Standard
+        # discipline for any iterative DataFrame algorithm.
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    # localCheckpoint TRUNCATES LINEAGE each iteration — without it the
-    # logical plan embeds the previous iteration twice (union + join) and
-    # grows exponentially, melting Catalyst analysis by iteration ~10
-    # (persist alone does NOT truncate the plan). Standard discipline for
-    # any iterative DataFrame algorithm.
-    und = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    und = _ckpt(
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    labels = _ckpt(
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    changed = 0
     for i in range(max_iters):
         nbr = und.join(labels, und["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -306,7 +332,16 @@ def dedup_clusters(
             .union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        )
+        # pointer jump: label <- min(label, label(label)). Labels are node
+        # ids and every node has a label row, so the lookup join always
+        # hits; min-label monotonicity makes the shortcut sound.
+        lk = new.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        new = _ckpt(
+            new.join(lk, new["label"] == lk["_ln"], "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
+            )
         )
         changed = (
             new.alias("n")
@@ -315,9 +350,23 @@ def dedup_clusters(
             .count()
         )
         labels = new
-        LAST_METRICS["dedup_clusters"] = {"iterations": i + 1, "last_changed": changed}
+        LAST_METRICS["dedup_clusters"] = {
+            "iterations": i + 1,
+            "last_changed": changed,
+            "converged": changed == 0,
+        }
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"dedup_clusters did NOT converge in {max_iters} iterations "
+            f"({changed} labels still changing): components wider than the "
+            "iteration budget are SPLIT and keep_canonical would keep "
+            "multiple 'canonical' docs per true cluster"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        log.warning(msg)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 

@@ -119,9 +119,13 @@ def image_embeddings(images: DataFrame, bins: int = 16) -> DataFrame:
             out = []
             for b, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
                 px = decode_image(b, w, h, f)
+                # bin index = px * bins // 256: correct for ANY bins (the
+                # old shift-based index was only right for powers of two —
+                # round-3 ADVICE); bit-identical to >>4 at the default 16
+                idx = (px.astype(np.int64) * bins) >> 8
                 vec = np.concatenate(
                     [
-                        np.bincount(px[:, :, c].ravel() >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                        np.bincount(idx[:, :, c].ravel(), minlength=bins)[:bins]
                         for c in range(3)
                     ]
                 ).astype(np.float64)

@@ -82,6 +82,7 @@ def run_pipeline(
         spark,
         "osm_segments",
         lambda: FX.osm_segments_table(spark, n_images, partitions=partitions),
+        bucket_by=["segment_id"],
     )
     raw = FX.raw_tables(spark, out["images"])
     # checkpoint the relational raw tables (tiny): downstream schedule stages
@@ -136,8 +137,22 @@ def run_from_raw(
         conflicts = snap.stop_sequence_conflicts(raw["trips"], raw["stop_times"]).count()
         return {"dist_source": src, "stop_sequence_conflicts": conflicts}
 
+    # net_segments / refined / matches / scheduled_traffic are written
+    # BUCKETED on shape_id (co-located storage, sources.bucketed): every
+    # downstream equi-join or groupBy whose keys include shape_id — the
+    # refined x g_len attach, the choose-stage collect_list + rank window,
+    # and the probe_data traffic x matches join — then runs with NO
+    # Exchange (HashPartitioning on a subset of the clustering keys
+    # satisfies the distribution). Asserted by
+    # tests/test_pipeline_e2e.py::test_pipeline_stage_joins_are_shuffle_free.
     out["net_segments"] = ckpt.run_stage(
-        spark, "net_segments", _net, metrics_fn=_net_metrics, rows_in_from="geo_shapes"
+        spark,
+        "net_segments",
+        _net,
+        metrics_fn=_net_metrics,
+        rows_in_from="geo_shapes",
+        bucket_by=["shape_id"],
+        sort_by=["shape_id", "shape_index"],
     )
     if done("net_segments"):
         return out
@@ -151,7 +166,12 @@ def run_from_raw(
         )
 
     out["refined"] = ckpt.run_stage(
-        spark, "refined", _refined, rows_in_from="net_segments"
+        spark,
+        "refined",
+        _refined,
+        rows_in_from="net_segments",
+        bucket_by=["shape_id"],
+        sort_by=["shape_id", "shape_index"],
     )
 
     def _matches() -> DataFrame:
@@ -172,6 +192,8 @@ def run_from_raw(
             .count()
         },
         rows_in_from="refined",
+        bucket_by=["shape_id"],
+        sort_by=["shape_id", "shape_index"],
     )
 
     # Pass-B graph path choice over the same refined candidates — the
@@ -243,6 +265,7 @@ def run_from_raw(
             raw["trips"], raw["stop_times"], out["net_segments"]
         ),
         metrics_fn=_traffic_metrics,
+        bucket_by=["shape_id"],
     )
     if done("scheduled_traffic"):
         return out
@@ -251,6 +274,9 @@ def run_from_raw(
         "probe_data",
         lambda: schedule.probe_data(out["scheduled_traffic"], out["matches"]),
         rows_in_from="scheduled_traffic",
+        # segment_id leads every downstream traffic grouping key, so the
+        # traffic_by_route aggregation consumes the buckets in place
+        bucket_by=["segment_id"],
     )
     out["traffic_by_route"] = ckpt.run_stage(
         spark,

@@ -67,6 +67,12 @@ def get_spark(
         # mixes (splitmix64 et al.) rely on modular arithmetic
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # co-located (bucketed) stage storage: allow a table bucketed on a
+        # SUBSET of the join keys (shape_id) to co-partition a join on
+        # (shape_id, shape_index) — rows with equal full keys are still in
+        # equal buckets, so this is semantics-preserving; the 3.3+ default
+        # (true) would re-shuffle both sides of every pair-key join
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     # scaling experiments route shuffle/spill through tmpfs to emulate
@@ -89,6 +95,10 @@ def ensure_shipped(spark: SparkSession) -> None:
     created SparkSession (the driver's, a notebook's): zip the package and
     addPyFile it — the in-process analog of `spark-submit --py-files`.
     Idempotent per session."""
+    # runtime-settable SQL confs the engine relies on, applied even to
+    # externally created sessions (the driver's): subset-key co-partitioning
+    # for the bucketed stage joins (see get_spark)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     if getattr(spark, "_gtfs_pkg_shipped", False):
         return
     import zipfile

@@ -277,6 +277,47 @@ def test_dedup_clusters_match_union_find(spark):
     assert dedup.LAST_METRICS["dedup_clusters"]["last_changed"] == 0
 
 
+def test_dedup_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """Union-find oracle holds in the reliable-checkpoint mode too (the
+    cluster-durable lineage truncation for executor-loss survival)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.dedup_clusters(
+            df, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == _union_find_oracle(pairs)
+
+
+def test_dedup_clusters_long_chain_converges_via_pointer_jumping(spark):
+    """A 200-node chain (diameter 199) must converge well inside the default
+    20-iteration budget — the pointer-jump shortcut makes convergence
+    O(log d), not O(d). Round-3 ADVICE: long near-dup chains (templated
+    docs with drifting content) are realistic at web scale."""
+    pairs = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(df).collect()}
+    assert got == _union_find_oracle(pairs)
+    m = dedup.LAST_METRICS["dedup_clusters"]
+    assert m["converged"] is True
+    assert m["iterations"] <= 10  # log2(200) ~ 8, not 199
+
+
+def test_dedup_clusters_nonconvergence_is_never_silent(spark):
+    """Exhausting the iteration budget with labels still changing must
+    surface: converged=False in LAST_METRICS, RuntimeError with strict."""
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    dedup.dedup_clusters(df, max_iters=2)
+    assert dedup.LAST_METRICS["dedup_clusters"]["converged"] is False
+    with _pytest.raises(RuntimeError, match="did NOT converge"):
+        dedup.dedup_clusters(df, max_iters=2, strict=True)
+
+
 def test_keep_canonical_drops_all_but_min(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 6)], "doc_id long, text string"

@@ -38,6 +38,24 @@ def test_lsh_neardup_no_false_positives(spark):
     assert not out.duplicated(["id_a", "id_b"]).any()
 
 
+def test_embedding_neardup_plan_has_no_array_below_explode(spark):
+    """Scale contract (round-3 VERDICT item 2): candidate generation must
+    explode only the narrow (id, sig) signature rows — the embedding array
+    must never appear in a Generate (explode) node or the self-join below
+    it; vectors attach to SURVIVING pairs via id equi-joins. At 100 TB the
+    old multi-probe version amplified the widest column ~300x."""
+    emb = Q._emb_with_dups(spark, SF)
+    df = similarity.embedding_near_dups(emb, dim=64, threshold=0.9)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, "expected a posexplode-based candidate generator"
+    for ln in gen_lines:
+        assert "embedding" not in ln, f"array column crosses the explode: {ln}"
+    # and the plan is a pigeonhole equi-join, never a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_image_embeddings_deterministic_and_payload_faithful(spark):
     """Identical payloads -> identical embeddings (cosine exactly 1 via the
     near-dup operator); repeat runs bit-identical."""

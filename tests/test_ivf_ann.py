@@ -69,6 +69,27 @@ def test_kmeans_refine_improves_objective(spark, emb_q):
     assert objective(refined) >= objective(seed) - 1e-9
 
 
+def test_kmeans_refine_survives_dim_768(spark):
+    """Plan-width contract (round-3 VERDICT item 7): the k-means update is a
+    posexplode + groupBy(centroid_id, dim_idx) — ONE aggregate expression
+    regardless of dimensionality — so it must run at dim=768 without
+    Catalyst plan blowup and still return finite unit-norm centroids."""
+    import numpy as np
+
+    dim, n = 768, 120
+    vecs = [
+        (i, [float(np.sin(0.01 * (i * dim + d) + 0.5)) for d in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    seed = similarity.deterministic_centroids(emb, 4)
+    refined = similarity.kmeans_refine(emb, seed, iters=1)
+    assert refined.shape == (4, dim)
+    assert np.isfinite(refined).all()
+    norms = np.linalg.norm(refined, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9)
+
+
 def test_ivf_refined_full_probe_still_exact(spark, emb_q):
     emb, q = emb_q
     exact = similarity.cosine_topk(q, emb, k=3).toPandas()

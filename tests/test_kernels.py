@@ -334,8 +334,12 @@ def test_cell_cover_rows_equals_per_row():
         (rng.uniform(-75, -73, 40), rng.uniform(41, 43, 40)),
         (np.empty(0), np.empty(0)),
         (np.array([179.9995, -179.9995]), np.array([0.0, 0.0])),
+        # domain edge: lat within cell_deg of -90 puts iy=0, where an
+        # unbiased packed dgy=-1 would borrow from the ix half (round-3
+        # ADVICE fix) — the ring-1 sets must still match per-row exactly
+        (np.array([-74.0, -73.999]), np.array([-89.9995, -89.9993])),
     ]
-    for ring in (0, 1):
+    for ring in (0, 1, 2):
         got = K.cell_cover_rows([r[0] for r in rows], [r[1] for r in rows], 0.002, ring=ring)
         for (x, y), g in zip(rows, got):
             want = K.cell_cover_of_points(x, y, 0.002, ring=ring) if x.size else np.empty(0)

@@ -277,3 +277,61 @@ def test_payload_invariant_after_checkpoint(pipeline_out):
         pix = np.frombuffer(bytes(r.bytes), np.uint8).reshape(r.w, r.h, 3)
         assert np.array_equal(pix, FX.image_pixels(k))
         assert r.caption == ref["caption"][k]
+
+
+def test_pipeline_stage_joins_are_shuffle_free(spark, pipeline_out):
+    """Co-located storage proof at the PIPELINE level (round-3 VERDICT item
+    3): stages are checkpointed bucketed on shape_id, so the two hottest
+    re-joins — refined x g_len (the choose-stage attach) and
+    scheduled_traffic x matches (probe_data) — run with NO shuffle
+    Exchange. Broadcast is disabled for the check so the proof is the
+    bucketed SortMergeJoin, not a trivially exchange-free broadcast."""
+    from pyspark.sql import functions as F
+
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+    from gtfs_conflation_pipeline_spark.sources.bucketed import join_is_shuffle_free
+
+    d, _ = pipeline_out
+    ck = CheckpointManager(d)
+    refined = ck.read(spark, "refined")
+    net = ck.read(spark, "net_segments")
+    g_len = net.select(
+        "shape_id", "shape_index", F.col("length_km").alias("g_len_km")
+    )
+    traffic = ck.read(spark, "scheduled_traffic")
+    matches = ck.read(spark, "matches")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", old
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j1 = refined.join(g_len, ["shape_id", "shape_index"])
+        assert join_is_shuffle_free(j1), "refined x g_len re-shuffled"
+        j2 = traffic.join(
+            matches.select("shape_id", "shape_index", "segment_id"), "shape_id"
+        )
+        assert join_is_shuffle_free(j2), "scheduled_traffic x matches re-shuffled"
+        # and the choose-stage aggregation consumes the buckets in place too
+        agg = refined.groupBy("shape_id", "shape_index").count()
+        assert join_is_shuffle_free(agg), "choose-stage groupBy re-shuffled"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_bucketed_stage_resume_reregisters_catalog(spark, pipeline_out):
+    """A fresh session (in-memory catalog) must be able to resume bucketed
+    stages: read() re-creates the catalog row from the manifest's recorded
+    spec. Simulated by dropping the table before reading."""
+    from gtfs_conflation_pipeline_spark.checkpoint import CheckpointManager
+
+    d, out = pipeline_out
+    ck = CheckpointManager(d)
+    spec = ck.manifest("matches")["bucketed"]
+    assert spec and spec["bucket_cols"] == ["shape_id"]
+    spark.sql(f"DROP TABLE IF EXISTS `{spec['table']}`")
+    got = ck.read(spark, "matches")
+    assert got.count() == out["matches"].count()
+    assert spark.catalog.tableExists(spec["table"])
