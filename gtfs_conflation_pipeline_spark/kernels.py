@@ -956,3 +956,279 @@ def buffer_ring(xs, ys, radius_km: float = 0.005, cap_pts: int = 4):
     ring_x = np.concatenate([left_x, right_x[::-1], left_x[:1]])
     ring_y = np.concatenate([left_y, right_y[::-1], left_y[:1]])
     return ring_x, ring_y
+
+
+# ---------------------------------------------------------------------------
+# batched (cross-pair packed) scoring kernels — round 3
+# ---------------------------------------------------------------------------
+# Same motivation as corridor_match_batch: per-pair numpy on ~20-50-point
+# arrays is dispatch-overhead-bound; packing P same-shape pairs into (P, n)
+# stacks runs each operation once per BATCH instead of once per pair. Each
+# batch kernel performs the same element ops as its scalar sibling, so
+# outputs are value-identical (asserted batch==scalar in tests).
+
+
+def _frechet_dp_batch(D: np.ndarray) -> np.ndarray:
+    """Discrete-Fréchet DP over a (P, n, m) coupling-distance stack: the
+    scalar DP's (i, j) recurrence with every max/min running on (P,)
+    vectors — n*m python iterations TOTAL for P pairs, not per pair.
+    max/min are exact, so results match the scalar DP bit-for-bit."""
+    P, n, m = D.shape
+    ca = np.empty_like(D)
+    ca[:, 0, 0] = D[:, 0, 0]
+    for j in range(1, m):
+        ca[:, 0, j] = np.maximum(ca[:, 0, j - 1], D[:, 0, j])
+    for i in range(1, n):
+        ca[:, i, 0] = np.maximum(ca[:, i - 1, 0], D[:, i, 0])
+        row_prev = ca[:, i - 1]
+        row = ca[:, i]
+        for j in range(1, m):
+            row[:, j] = np.maximum(
+                np.minimum(
+                    np.minimum(row_prev[:, j], row_prev[:, j - 1]), row[:, j - 1]
+                ),
+                D[:, i, j],
+            )
+    return ca[:, -1, -1]
+
+
+def discrete_frechet_km_batch(AX, AY, BX, BY) -> np.ndarray:
+    """Batched `discrete_frechet_km` over (P, n) / (P, m) stacks."""
+    D = haversine_km(
+        AX[:, :, None], AY[:, :, None], BX[:, None, :], BY[:, None, :]
+    )
+    return _frechet_dp_batch(D)
+
+
+def snap_dev_batch(PX, PY, QX, QY) -> np.ndarray:
+    """Batched point->polyline deviations: for each of P pairs, project the
+    row's (P, np_) points onto its (P, nq) polyline and return the (P, np_)
+    deviation matrix. Plane per pair = mean latitude of concat(Q, P),
+    exactly as snap_points_to_polyline's _local_plane sees it."""
+    P = PX.shape[0]
+    np_ = PX.shape[1]
+    lat0 = np.concatenate([QY, PY], axis=1).mean(axis=1)
+    kx = (DEG_KM * np.cos(np.radians(lat0)))[:, None]
+    ky = DEG_KM
+    X = QX * kx
+    Y = QY * ky
+    PXp = PX * kx
+    PYp = PY * ky
+    ax = X[:, None, :-1]
+    ay = Y[:, None, :-1]
+    bx = X[:, None, 1:]
+    by = Y[:, None, 1:]
+    dx = bx - ax
+    dy = by - ay
+    L2 = dx * dx + dy * dy
+    PPX = PXp[:, :, None]
+    PPY = PYp[:, :, None]
+    t = np.where(
+        L2 > 0, ((PPX - ax) * dx + (PPY - ay) * dy) / np.where(L2 > 0, L2, 1.0), 0.0
+    )
+    t = np.clip(t, 0.0, 1.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (PPX - cx) ** 2 + (PPY - cy) ** 2
+    seg_idx = np.argmin(d2, axis=2)
+    pi = np.arange(P)[:, None]
+    ri = np.arange(np_)[None, :]
+    return np.sqrt(d2[pi, ri, seg_idx])
+
+
+def hausdorff_km_batch(AX, AY, BX, BY) -> np.ndarray:
+    """Batched symmetric Hausdorff via snap deviations (== hausdorff_km)."""
+    dev_ab = snap_dev_batch(AX, AY, BX, BY)
+    dev_ba = snap_dev_batch(BX, BY, AX, AY)
+    return np.maximum(dev_ab.max(axis=1), dev_ba.max(axis=1))
+
+
+def mean_dev_km_batch(AX, AY, BX, BY) -> np.ndarray:
+    """Batched bidirectional mean snap deviation (== similarity_stats
+    'mean_km': mean of concat(dev_ab, dev_ba) per pair)."""
+    dev_ab = snap_dev_batch(AX, AY, BX, BY)
+    dev_ba = snap_dev_batch(BX, BY, AX, AY)
+    return np.concatenate([dev_ab, dev_ba], axis=1).mean(axis=1)
+
+
+def _corridor_interval_batch(PX, PY, QX, QY, radius_km: float):
+    """Batched `_corridor_interval`: (any_within, start_km, end_km) per
+    pair — P's densified vertices projected onto Q, along-P interval of the
+    within-radius portion. Same op order as the scalar kernel."""
+    P = PX.shape[0]
+    p_len = np.sum(haversine_km(PX[:, :-1], PY[:, :-1], PX[:, 1:], PY[:, 1:]), axis=1)
+    PXD, PYD = PX, PY
+    for _ in range(2):
+        PXD, PYD = _midpoints_rows(PXD, PYD)
+    nd = PXD.shape[1]
+    dev = snap_dev_batch(PXD, PYD, QX, QY)
+    seg_len_p = haversine_km(PXD[:, :-1], PYD[:, :-1], PXD[:, 1:], PYD[:, 1:])
+    start_p = np.concatenate(
+        [np.zeros((P, 1)), np.cumsum(seg_len_p, axis=1)[:, :-1]], axis=1
+    )
+    pos = np.concatenate([start_p, p_len[:, None]], axis=1)
+    within = dev <= radius_km
+    any_w = within.any(axis=1)
+    first = within.argmax(axis=1)
+    last = nd - 1 - within[:, ::-1].argmax(axis=1)
+    rows = np.arange(P)
+    return any_w, pos[rows, first], pos[rows, last]
+
+
+def cospatiality_two_sided_batch(AX, AY, BX, BY, radius_km: float = 0.005):
+    """Vectorized `cospatiality_two_sided` over P same-shape pairs.
+
+    Returns (valid_mask, dict of (P,) arrays with the scalar kernel's
+    keys); rows failing the 2 m line cutoff, the within-radius test on
+    either side, or the 1 m interval predicate have valid_mask False."""
+    AX = np.asarray(AX, dtype=np.float64)
+    AY = np.asarray(AY, dtype=np.float64)
+    BX = np.asarray(BX, dtype=np.float64)
+    BY = np.asarray(BY, dtype=np.float64)
+    a_len = np.sum(haversine_km(AX[:, :-1], AY[:, :-1], AX[:, 1:], AY[:, 1:]), axis=1)
+    b_len = np.sum(haversine_km(BX[:, :-1], BY[:, :-1], BX[:, 1:], BY[:, 1:]), axis=1)
+    ok = (a_len >= SHORT_SEG_CUTOFF_KM) & (b_len >= SHORT_SEG_CUTOFF_KM)
+    a_any, a_s, a_e = _corridor_interval_batch(AX, AY, BX, BY, radius_km)
+    b_any, b_s, b_e = _corridor_interval_batch(BX, BY, AX, AY, radius_km)
+    ok &= a_any & b_any & (a_e - a_s > 0.001) & (b_e - b_s > 0.001)
+    return ok, {
+        "a_start_km": a_s,
+        "a_end_km": a_e,
+        "b_start_km": b_s,
+        "b_end_km": b_e,
+        "intxn_a_km": a_e - a_s,
+        "intxn_b_km": b_e - b_s,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pass-C reference-parity score: rotation-restricted Procrustes similarity
+# ---------------------------------------------------------------------------
+# The reference scores chosen paths with curve-matcher's shapeSimilarity
+# (scoreChosenPaths/frechet.js:6-35: rebalance both curves to
+# min(max(|S|,|T|), ceil(maxLen_km * 50)) points, then
+# shapeSimilarity(s, t, {restrictRotationAngle: 0.1*pi})). shapeSimilarity
+# (chanind/curve-matcher, MIT) is: Procrustes-normalize each curve
+# (rebalance to `estimation_points` by planar arc length, translate the
+# centroid to the origin, scale to unit RMS radius), then take the minimum
+# planar discrete-Fréchet distance over candidate rotations of curve A
+# (theta = 0, the closed-form Procrustes-optimal angle if it is inside the
+# restriction window, and `rotations` evenly spaced angles across
+# [-restrict, +restrict]); similarity = max(0, 1 - minDist /
+# (geoAvgCurveLen / sqrt(2))) where geoAvgCurveLen is the geometric mean
+# of the two normalized curve lengths. Implemented here from the published
+# algorithm; verified against an independent scalar port in tests.
+
+
+def _rebalance_planar_batch(X: np.ndarray, Y: np.ndarray, n: int):
+    """Batched planar (Euclidean) arc-length resample to n points —
+    curve-matcher rebalanceCurve semantics."""
+    P = X.shape[0]
+    seg = np.sqrt(np.diff(X, axis=1) ** 2 + np.diff(Y, axis=1) ** 2)
+    cum = np.concatenate([np.zeros((P, 1)), np.cumsum(seg, axis=1)], axis=1)
+    total = cum[:, -1]
+    frac = np.linspace(0.0, 1.0, n)
+    d = total[:, None] * frac[None, :]
+    # per-row searchsorted: count of cum entries <= d, minus 1
+    i = (cum[:, None, :] <= d[:, :, None] + 0.0).sum(axis=2) - 1
+    i = np.clip(i, 0, seg.shape[1] - 1)
+    pi = np.arange(P)[:, None]
+    seg_i = seg[pi, i]
+    f = np.where(seg_i > 0, (d - cum[pi, i]) / np.where(seg_i > 0, seg_i, 1.0), 0.0)
+    f = np.clip(f, 0.0, 1.0)
+    rx = X[pi, i] + f * (X[pi, i + 1] - X[pi, i])
+    ry = Y[pi, i] + f * (Y[pi, i + 1] - Y[pi, i])
+    # degenerate (zero-length) curves collapse to their first vertex
+    rx = np.where(total[:, None] > 0, rx, X[:, :1])
+    ry = np.where(total[:, None] > 0, ry, Y[:, :1])
+    return rx, ry
+
+
+def _procrustes_normalize_batch(X: np.ndarray, Y: np.ndarray, n: int):
+    """Rebalance to n planar points, translate centroid to origin, scale to
+    unit RMS radius (curve-matcher procrustesNormalizeCurve)."""
+    rx, ry = _rebalance_planar_batch(X, Y, n)
+    rx = rx - rx.mean(axis=1, keepdims=True)
+    ry = ry - ry.mean(axis=1, keepdims=True)
+    scale = np.sqrt((rx * rx + ry * ry).mean(axis=1))
+    s = np.where(scale > 0, scale, 1.0)[:, None]
+    return rx / s, ry / s
+
+
+def _euclid_frechet_batch(AX, AY, BX, BY) -> np.ndarray:
+    D = np.sqrt(
+        (AX[:, :, None] - BX[:, None, :]) ** 2
+        + (AY[:, :, None] - BY[:, None, :]) ** 2
+    )
+    return _frechet_dp_batch(D)
+
+
+def shape_similarity_batch(
+    AX,
+    AY,
+    BX,
+    BY,
+    estimation_points: int = 50,
+    rotations: int = 10,
+    restrict_rotation: float = 0.1 * np.pi,
+    check_rotations: bool = True,
+) -> np.ndarray:
+    """Batched curve-matcher shapeSimilarity over (P, na)/(P, nb) stacks.
+    Returns a (P,) similarity in [0, 1]; 1 = identical shape up to
+    translation/scale/limited rotation."""
+    AX = np.asarray(AX, dtype=np.float64)
+    AY = np.asarray(AY, dtype=np.float64)
+    BX = np.asarray(BX, dtype=np.float64)
+    BY = np.asarray(BY, dtype=np.float64)
+    ax, ay = _procrustes_normalize_batch(AX, AY, estimation_points)
+    bx, by = _procrustes_normalize_batch(BX, BY, estimation_points)
+    len_a = np.sqrt(np.diff(ax, axis=1) ** 2 + np.diff(ay, axis=1) ** 2).sum(axis=1)
+    len_b = np.sqrt(np.diff(bx, axis=1) ** 2 + np.diff(by, axis=1) ** 2).sum(axis=1)
+    geo_avg = np.sqrt(len_a * len_b)
+    thetas = [np.zeros(AX.shape[0])]
+    if check_rotations:
+        # closed-form Procrustes-optimal rotation of A onto B, kept only
+        # inside the restriction window (else 0, already a candidate)
+        num = (by * ax - bx * ay).sum(axis=1)
+        den = (bx * ax + by * ay).sum(axis=1)
+        theta_p = np.arctan2(num, den)
+        theta_p = np.where(np.abs(theta_p) < restrict_rotation, theta_p, 0.0)
+        thetas.append(theta_p)
+        for i in range(rotations):
+            t = -restrict_rotation + (2.0 * i * restrict_rotation) / (rotations - 1)
+            thetas.append(np.full(AX.shape[0], t))
+    best = np.full(AX.shape[0], np.inf)
+    for th in thetas:
+        c = np.cos(th)[:, None]
+        s = np.sin(th)[:, None]
+        rx = c * ax - s * ay
+        ry = s * ax + c * ay
+        best = np.minimum(best, _euclid_frechet_batch(rx, ry, bx, by))
+    denom = np.where(geo_avg > 0, geo_avg / np.sqrt(2.0), 1.0)
+    sim = np.where(geo_avg > 0, 1.0 - best / denom, np.where(best == 0, 1.0, 0.0))
+    return np.clip(sim, 0.0, 1.0)
+
+
+def shape_similarity(
+    ax,
+    ay,
+    bx,
+    by,
+    estimation_points: int = 50,
+    rotations: int = 10,
+    restrict_rotation: float = 0.1 * np.pi,
+    check_rotations: bool = True,
+) -> float:
+    """Scalar shapeSimilarity (frechet.js:34 semantics) — one pair."""
+    return float(
+        shape_similarity_batch(
+            np.asarray(ax, dtype=np.float64)[None, :],
+            np.asarray(ay, dtype=np.float64)[None, :],
+            np.asarray(bx, dtype=np.float64)[None, :],
+            np.asarray(by, dtype=np.float64)[None, :],
+            estimation_points=estimation_points,
+            rotations=rotations,
+            restrict_rotation=restrict_rotation,
+            check_rotations=check_rotations,
+        )[0]
+    )

@@ -3,13 +3,23 @@
 The reference re-joins chosen matches to their geometries and scores each
 (GTFS segment, chosen path) pair with a resampled curve-similarity metric
 (scoreChosenPaths/frechet.js:6-35: resample both curves to
-min(max(|S|,|T|), ceil(maxLen_km * 50)) points, then one scalar similarity).
-We emit the discrete Fréchet distance plus symmetric Hausdorff — same role,
-numerically defined metrics.
+min(max(|S|,|T|), ceil(maxLen_km * 50)) points, then curve-matcher
+shapeSimilarity with restrictRotationAngle = 0.1*pi). We emit that
+reference-parity `shape_similarity` (kernels.shape_similarity — Procrustes
+normalize + rotation-restricted minimum planar Fréchet) PLUS the
+numerically defined discrete Fréchet distance and symmetric Hausdorff.
 
-Arrow-batched mapInPandas; geometry slices are cut with the same
-line_slice_along kernel the net stage used, so score inputs are exactly the
-matched sub-geometries.
+Arrow-batched mapInPandas with CROSS-PAIR PACKING (round-3): within each
+Arrow batch, pairs are grouped by (slice-vertex-counts, resample-n) and
+each group runs through ONE vectorized kernel call per metric
+(discrete_frechet_km_batch / hausdorff_km_batch / mean_dev_km_batch /
+shape_similarity_batch) over (P, n) stacks — per-pair numpy on ~20-50
+point arrays is dispatch-overhead-bound, and the Fréchet DP in particular
+drops from P*n*m python iterations to n*m. Outputs are value-identical to
+the scalar score_pair (same op order; asserted in tests), which remains
+the oracle-side reference implementation. Geometry slices are cut with the
+same line_slice_along kernel the net stage used, so score inputs are
+exactly the matched sub-geometries.
 """
 
 from __future__ import annotations
@@ -35,26 +45,39 @@ SCORES_SCHEMA = T.StructType(
         T.StructField("frechet_km", T.DoubleType()),
         T.StructField("hausdorff_km", T.DoubleType()),
         T.StructField("mean_dev_km", T.DoubleType()),
+        T.StructField("shape_similarity", T.DoubleType()),
     ]
 )
 
 
-def score_pair(gx, gy, ox, oy, a0, a1, b0, b1):
-    """Score one chosen match: slice both geometries to the matched
-    intervals, resample (frechet.js semantics), Fréchet + Hausdorff +
-    mean bidirectional snap deviation."""
+def _slice_and_n(gx, gy, ox, oy, a0, a1, b0, b1):
+    """Shared slice + resample-count step (frechet.js:25-30 numPoints)."""
     sx, sy = K.line_slice_along(gx, gy, a0, a1)
     tx, ty = K.line_slice_along(ox, oy, b0, b1)
     if sx.size < 2 or tx.size < 2:
         return None
     max_len = max(a1 - a0, b1 - b0)
     n = int(min(max(sx.size, tx.size), max(2, np.ceil(max_len * POINTS_PER_KM))))
+    return sx, sy, tx, ty, n
+
+
+def score_pair(gx, gy, ox, oy, a0, a1, b0, b1):
+    """Score one chosen match: slice both geometries to the matched
+    intervals, resample (frechet.js semantics), Fréchet + Hausdorff +
+    mean bidirectional snap deviation + reference-parity shapeSimilarity.
+    Scalar reference implementation (the numpy-oracle path); the Spark
+    kernel packs the same ops across pairs."""
+    sl = _slice_and_n(gx, gy, ox, oy, a0, a1, b0, b1)
+    if sl is None:
+        return None
+    sx, sy, tx, ty, n = sl
     rsx, rsy = K.resample_polyline(sx, sy, n)
     rtx, rty = K.resample_polyline(tx, ty, n)
     fr = K.discrete_frechet_km(rsx, rsy, rtx, rty)
     hd = K.hausdorff_km(sx, sy, tx, ty)
     stats = K.similarity_stats(sx, sy, tx, ty)
-    return fr, hd, stats["mean_km"]
+    ss = K.shape_similarity(rsx, rsy, rtx, rty)
+    return fr, hd, stats["mean_km"], ss
 
 
 def score_matches(matches: DataFrame, segments: DataFrame, osm: DataFrame) -> DataFrame:
@@ -81,29 +104,57 @@ def score_matches(matches: DataFrame, segments: DataFrame, osm: DataFrame) -> Da
     par = matches.sparkSession.sparkContext.defaultParallelism
     inp = inp.repartition(par)
 
+    meta_cols = ("shape_id", "shape_index", "segment_id", "shst_reference")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {f.name: [] for f in SCORES_SCHEMA.fields}
-            for r in pdf.itertuples(index=False):
-                s = score_pair(
-                    np.asarray(r.g_xs),
-                    np.asarray(r.g_ys),
-                    np.asarray(r.o_xs),
-                    np.asarray(r.o_ys),
-                    r.section_start,
-                    r.section_end,
-                    r.osm_start,
-                    r.osm_end,
+            gx = pdf["g_xs"].to_numpy()
+            gy = pdf["g_ys"].to_numpy()
+            ox = pdf["o_xs"].to_numpy()
+            oy = pdf["o_ys"].to_numpy()
+            a0 = pdf["section_start"].to_numpy()
+            a1 = pdf["section_end"].to_numpy()
+            b0 = pdf["osm_start"].to_numpy()
+            b1 = pdf["osm_end"].to_numpy()
+            meta = {c: pdf[c].to_numpy() for c in meta_cols}
+            # slice per row (variable-size output), then PACK pairs whose
+            # (slice sizes, resample n) agree into one kernel call per group
+            groups: dict[tuple[int, int, int], list] = {}
+            for i in range(len(pdf)):
+                sl = _slice_and_n(
+                    np.asarray(gx[i]), np.asarray(gy[i]),
+                    np.asarray(ox[i]), np.asarray(oy[i]),
+                    a0[i], a1[i], b0[i], b1[i],
                 )
-                if s is None:
+                if sl is None:
                     continue
-                rows["shape_id"].append(r.shape_id)
-                rows["shape_index"].append(r.shape_index)
-                rows["segment_id"].append(r.segment_id)
-                rows["shst_reference"].append(r.shst_reference)
-                rows["frechet_km"].append(s[0])
-                rows["hausdorff_km"].append(s[1])
-                rows["mean_dev_km"].append(s[2])
+                sx, sy, tx, ty, n = sl
+                groups.setdefault((sx.size, tx.size, n), []).append(
+                    (i, sx, sy, tx, ty)
+                )
+            for (ns, nt, n), items in groups.items():
+                SX = np.stack([it[1] for it in items])
+                SY = np.stack([it[2] for it in items])
+                TX = np.stack([it[3] for it in items])
+                TY = np.stack([it[4] for it in items])
+                rs = [K.resample_polyline(it[1], it[2], n) for it in items]
+                rt = [K.resample_polyline(it[3], it[4], n) for it in items]
+                RSX = np.stack([r[0] for r in rs])
+                RSY = np.stack([r[1] for r in rs])
+                RTX = np.stack([r[0] for r in rt])
+                RTY = np.stack([r[1] for r in rt])
+                fr = K.discrete_frechet_km_batch(RSX, RSY, RTX, RTY)
+                hd = K.hausdorff_km_batch(SX, SY, TX, TY)
+                md = K.mean_dev_km_batch(SX, SY, TX, TY)
+                ss = K.shape_similarity_batch(RSX, RSY, RTX, RTY)
+                idxs = [it[0] for it in items]
+                for c in meta_cols:
+                    rows[c].extend(meta[c][idxs])
+                rows["frechet_km"].extend(fr)
+                rows["hausdorff_km"].extend(hd)
+                rows["mean_dev_km"].extend(md)
+                rows["shape_similarity"].extend(ss)
             yield pd.DataFrame(rows)
 
     return inp.mapInPandas(kernel, SCORES_SCHEMA)

@@ -305,6 +305,88 @@ def choose_matches(
     return chosen.withColumn("along_idx", F.rank().over(w))
 
 
+def remove_redundant_matches(
+    matches: DataFrame,
+    target_cols: tuple[str, ...] = ("shape_id", "shape_index"),
+    ref_col: str = "shst_reference",
+    xs_col: str = "m_xs",
+    ys_col: str = "m_ys",
+    assisted_col: str | None = None,
+) -> DataFrame:
+    """Coord-subset redundant-match removal — the reference's
+    removeRedundantMatches.js:4-85, applied to raw (external) matcher
+    output BEFORE dedupe/choose.
+
+    Reference semantics, re-expressed: per (target segment, shst ref),
+    consider matches in descending coordinate-count order (ties prefer
+    non-OSRM-assisted); keep a match only if its coordinate SET is not a
+    subset of an already-kept match's coordinate set (exact coordinate
+    equality — coords are 6-dp rounded at ingest, reference
+    roundGeometryCoordinates.js). Degenerate (<2 coords) matches are
+    dropped up front (the getCoords length>1 guard).
+
+    Spark shape: coords pack into int64 keys JVM-side (6-dp grid), groups
+    are (target, ref) — typically a handful of partial matches — gathered
+    with collect_list + ONE scalar pandas_udf over the array column (the
+    many-tiny-groups pattern; grouped applyInPandas costs ~5 ms/group).
+    The greedy subset scan is inherently sequential per group and runs on
+    packed-int sets. In-engine refine output is one-row-per-(pair, ref) so
+    this is a no-op there by construction; it exists for external shst
+    match payloads, where nested partial matches are the norm. The
+    reference's input-order tie-break is made total (coord-count desc,
+    assisted asc, packed-coords hash) so results are deterministic under
+    any partitioning."""
+    tcols = list(target_cols)
+    # 6-dp grid pack: exact on the ingest-rounded lattice, one int64/coord
+    pack = F.transform(
+        F.arrays_zip(F.col(xs_col).alias("x"), F.col(ys_col).alias("y")),
+        lambda p: F.shiftleft(
+            F.round((p["x"] + F.lit(180.0)) * 1e6, 0).cast("long"), 32
+        ).bitwiseOR(
+            F.round((p["y"] + F.lit(90.0)) * 1e6, 0).cast("long").bitwiseAND(
+                F.lit((1 << 32) - 1).cast("long")
+            )
+        ),
+    )
+    assisted = (
+        F.col(assisted_col).cast("int") if assisted_col else F.lit(0)
+    )
+    df = (
+        matches.withColumn("_ck", pack)
+        .withColumn("_n", F.size("_ck"))
+        .filter(F.col("_n") > 1)
+        .withColumn("_assist", assisted)
+        .withColumn("_h", F.hash("_ck"))
+    )
+    w = Window.partitionBy(*tcols, ref_col).orderBy(
+        F.desc("_n"), F.asc("_assist"), F.asc("_h")
+    )
+    df = df.withColumn("_rid", F.row_number().over(w))
+    grouped = df.groupBy(*tcols, ref_col).agg(
+        F.collect_list(F.struct("_rid", "_ck")).alias("_cands")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def keep_rids(cands: pd.Series) -> pd.Series:
+        out = []
+        for lst in cands:
+            kept: list[tuple[int, set]] = []
+            for m in sorted(lst, key=lambda m: m["_rid"]):
+                cs = set(m["_ck"])
+                if not any(cs <= k for _, k in kept):
+                    kept.append((m["_rid"], cs))
+            out.append([r for r, _ in kept])
+        return pd.Series(out)
+
+    kept = grouped.select(
+        *tcols, ref_col, F.explode(keep_rids("_cands")).alias("_rid")
+    )
+    return (
+        df.join(kept, [*tcols, ref_col, "_rid"], "inner")
+        .drop("_ck", "_n", "_assist", "_h", "_rid")
+    )
+
+
 COSPATIALITY_SCHEMA = T.StructType(
     [
         T.StructField("segment_id_a", T.LongType()),
@@ -398,23 +480,46 @@ def map_segments_cospatiality(
         "segment_id_b",
     )
 
+    out_keys = (
+        "a_start_km", "a_end_km", "b_start_km", "b_end_km",
+        "intxn_a_km", "intxn_b_km",
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cross-pair packing (round-3, same treatment as the flagship
+        # refine): group pairs by (vertex-count-A, vertex-count-B), one
+        # vectorized cospatiality_two_sided_batch call per group — removes
+        # the ~1 ms/pair small-array dispatch from the hot loop; outputs
+        # are value-identical to the scalar kernel (asserted in tests)
         for pdf in batches:
             rows = {f.name: [] for f in COSPATIALITY_SCHEMA.fields}
-            for r in pdf.itertuples(index=False):
-                m = K.cospatiality_two_sided(
-                    np.asarray(r.a_xs), np.asarray(r.a_ys),
-                    np.asarray(r.b_xs), np.asarray(r.b_ys),
-                    radius_km=radius_km,
+            axs = pdf["a_xs"].to_numpy()
+            ays = pdf["a_ys"].to_numpy()
+            bxs = pdf["b_xs"].to_numpy()
+            bys = pdf["b_ys"].to_numpy()
+            ida = pdf["segment_id_a"].to_numpy()
+            idb = pdf["segment_id_b"].to_numpy()
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i in range(len(pdf)):
+                groups.setdefault((len(axs[i]), len(bxs[i])), []).append(i)
+            for (na, nb), idxs in groups.items():
+                if na < 2 or nb < 2:
+                    continue  # short-line cutoff rejects these (scalar parity)
+                AX = np.stack([np.asarray(axs[i], dtype=np.float64) for i in idxs])
+                AY = np.stack([np.asarray(ays[i], dtype=np.float64) for i in idxs])
+                BX = np.stack([np.asarray(bxs[i], dtype=np.float64) for i in idxs])
+                BY = np.stack([np.asarray(bys[i], dtype=np.float64) for i in idxs])
+                ok, m = K.cospatiality_two_sided_batch(
+                    AX, AY, BX, BY, radius_km=radius_km
                 )
-                if m is None:
+                keep = np.where(ok)[0]
+                if keep.size == 0:
                     continue
-                rows["segment_id_a"].append(r.segment_id_a)
-                rows["segment_id_b"].append(r.segment_id_b)
-                for k in ("a_start_km", "a_end_km", "b_start_km", "b_end_km"):
-                    rows[k].append(m[k])
-                rows["intxn_a_km"].append(m["intxn_a_km"])
-                rows["intxn_b_km"].append(m["intxn_b_km"])
+                kept_idx = [idxs[j] for j in keep]
+                rows["segment_id_a"].extend(ida[kept_idx])
+                rows["segment_id_b"].extend(idb[kept_idx])
+                for k in out_keys:
+                    rows[k].extend(m[k][keep])
             yield pd.DataFrame(rows)
 
     return attached.mapInPandas(kernel, COSPATIALITY_SCHEMA)

@@ -199,6 +199,7 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
                     "frechet_km": s[0],
                     "hausdorff_km": s[1],
                     "mean_dev_km": s[2],
+                    "shape_similarity": s[3],
                 }
             )
     scores = pd.DataFrame(score_rows)

@@ -1202,6 +1202,47 @@ def q_map_cospatiality(spark, sf):
     return _pipeline(spark)["cospatiality"].orderBy("segment_id_a", "segment_id_b")
 
 
+def q_redundant_removal(spark, sf):
+    """Coord-subset redundant-match removal (removeRedundantMatches.js:4-85)
+    over the fixture conflation map with injected nested partial matches:
+    per segment, the full match geometry plus a strict-prefix subset copy
+    and an OSRM-assisted 2-coord subset; the operator must keep exactly the
+    full rows. The greedy, order-dependent subset scan is not
+    SQL-expressible (rows-only); exact semantics are pytest-oracled in
+    tests/test_redundant_matches.py."""
+    from .. import fixtures as FX
+    from ..operators import spatial_join
+
+    osm = FX.osm_segments_table(spark, 500, partitions=8)
+    cols = ["segment_id", "shst_reference"]
+    base = osm.select(
+        *cols,
+        F.col("xs").alias("m_xs"),
+        F.col("ys").alias("m_ys"),
+        F.lit(0).alias("assisted"),
+    )
+    subs = osm.select(
+        *cols,
+        F.expr("slice(xs, 1, size(xs) - 1)").alias("m_xs"),
+        F.expr("slice(ys, 1, size(ys) - 1)").alias("m_ys"),
+        F.lit(0).alias("assisted"),
+    )
+    sub2 = osm.select(
+        *cols,
+        F.expr("slice(xs, 2, 2)").alias("m_xs"),
+        F.expr("slice(ys, 2, 2)").alias("m_ys"),
+        F.lit(1).alias("assisted"),
+    )
+    allm = base.unionByName(subs).unionByName(sub2)
+    return (
+        spatial_join.remove_redundant_matches(
+            allm, target_cols=("segment_id",), assisted_col="assisted"
+        )
+        .select(*cols, F.size("m_xs").alias("n_coords"))
+        .orderBy("segment_id")
+    )
+
+
 def q_service_dates(spark, sf):
     """Stage-5 calendar semantics (date series + dow flags + exceptions)."""
     return _pipeline(spark)["service_dates"].orderBy("service_id", "date")
@@ -1490,6 +1531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_scores": q_match_scores,
     "match_paths": q_match_paths,
     "map_cospatiality": q_map_cospatiality,
+    "redundant_removal": q_redundant_removal,
     "service_dates": q_service_dates,
     "scheduled_traffic": q_scheduled_traffic,
     "probe_data": q_probe_data,

@@ -344,3 +344,182 @@ def test_cell_cover_rows_equals_per_row():
         for (x, y), g in zip(rows, got):
             want = K.cell_cover_of_points(x, y, 0.002, ring=ring) if x.size else np.empty(0)
             assert set(g.tolist()) == set(np.asarray(want).tolist())
+
+
+def test_cospatiality_batch_equals_scalar():
+    """Packed two-sided cospatiality == scalar kernel per pair: identical
+    validity and bit-identical intervals over overlap / partial / distant /
+    backtracking / short-line pairs."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    n = 21
+    xs = np.round(np.linspace(-74.0, -73.98, n), 6)
+    ys = np.full(n, 42.0)
+    back = np.concatenate([xs[: n - 10], xs[n - 12 : n - 12 + 10][::-1]])
+    pairs = [
+        (xs, ys, xs + 5e-6, ys),                       # near-identical
+        (xs, ys, xs, ys + 2.6e-5),                     # offset inside radius
+        (xs, ys, xs + 0.01, ys),                       # distant
+        (xs, ys, back, ys),                            # B backtracks
+        (xs, ys, xs, ys + 1e-5 * np.sin(np.arange(n))),  # wiggly
+    ]
+    AX = np.stack([p[0] for p in pairs]); AY = np.stack([p[1] for p in pairs])
+    BX = np.stack([p[2] for p in pairs]); BY = np.stack([p[3] for p in pairs])
+    ok, m = K.cospatiality_two_sided_batch(AX, AY, BX, BY, radius_km=0.005)
+    for i, p in enumerate(pairs):
+        s = K.cospatiality_two_sided(p[0], p[1], p[2], p[3], radius_km=0.005)
+        assert bool(ok[i]) == (s is not None), i
+        if s is None:
+            continue
+        for k in ("a_start_km", "a_end_km", "b_start_km", "b_end_km",
+                  "intxn_a_km", "intxn_b_km"):
+            assert m[k][i] == s[k], (i, k)
+
+
+def test_score_batch_kernels_equal_scalar():
+    """Batched Fréchet / Hausdorff / mean-dev == their scalar siblings
+    (bit-identical DP, <=1-ulp means) on same-shape curve stacks."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    rng = np.random.default_rng(11)
+    n, m, P = 17, 13, 6
+    AX = -74.0 + np.cumsum(rng.uniform(1e-5, 1e-4, (P, n)), axis=1)
+    AY = 42.0 + rng.uniform(-1e-4, 1e-4, (P, n))
+    BX = -74.0 + np.cumsum(rng.uniform(1e-5, 1e-4, (P, m)), axis=1)
+    BY = 42.0 + rng.uniform(-1e-4, 1e-4, (P, m))
+    fr = K.discrete_frechet_km_batch(AX, AY, BX, BY)
+    hd = K.hausdorff_km_batch(AX, AY, BX, BY)
+    md = K.mean_dev_km_batch(AX, AY, BX, BY)
+    for i in range(P):
+        assert fr[i] == K.discrete_frechet_km(AX[i], AY[i], BX[i], BY[i]), i
+        assert hd[i] == K.hausdorff_km(AX[i], AY[i], BX[i], BY[i]), i
+        want = K.similarity_stats(AX[i], AY[i], BX[i], BY[i])["mean_km"]
+        assert abs(md[i] - want) <= 1e-15, i
+
+
+def _shape_similarity_port(ax, ay, bx, by, est=50, rotations=10,
+                           restrict=0.1 * 3.141592653589793):
+    """Independent scalar port of curve-matcher shapeSimilarity (plain
+    python loops — the test oracle for kernels.shape_similarity)."""
+    import math
+
+    def rebalance(xs, ys, n):
+        segs = [math.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i])
+                for i in range(len(xs) - 1)]
+        total = sum(segs)
+        if total == 0:
+            return [xs[0]] * n, [ys[0]] * n
+        cum = [0.0]
+        for s in segs:
+            cum.append(cum[-1] + s)
+        out_x, out_y = [], []
+        for k in range(n):
+            d = total * k / (n - 1)
+            i = max(j for j in range(len(cum)) if cum[j] <= d)
+            i = min(i, len(segs) - 1)
+            f = (d - cum[i]) / segs[i] if segs[i] > 0 else 0.0
+            f = min(max(f, 0.0), 1.0)
+            out_x.append(xs[i] + f * (xs[i + 1] - xs[i]))
+            out_y.append(ys[i] + f * (ys[i + 1] - ys[i]))
+        return out_x, out_y
+
+    def normalize(xs, ys):
+        xs, ys = rebalance(list(xs), list(ys), est)
+        mx = sum(xs) / len(xs); my = sum(ys) / len(ys)
+        xs = [x - mx for x in xs]; ys = [y - my for y in ys]
+        scale = math.sqrt(sum(x * x + y * y for x, y in zip(xs, ys)) / len(xs))
+        if scale > 0:
+            xs = [x / scale for x in xs]; ys = [y / scale for y in ys]
+        return xs, ys
+
+    def frechet(ax, ay, bx, by):
+        n, m = len(ax), len(bx)
+        D = [[math.hypot(ax[i] - bx[j], ay[i] - by[j]) for j in range(m)]
+             for i in range(n)]
+        ca = [[0.0] * m for _ in range(n)]
+        ca[0][0] = D[0][0]
+        for j in range(1, m):
+            ca[0][j] = max(ca[0][j - 1], D[0][j])
+        for i in range(1, n):
+            ca[i][0] = max(ca[i - 1][0], D[i][0])
+            for j in range(1, m):
+                ca[i][j] = max(min(ca[i - 1][j], ca[i - 1][j - 1], ca[i][j - 1]),
+                               D[i][j])
+        return ca[-1][-1]
+
+    nax, nay = normalize(ax, ay)
+    nbx, nby = normalize(bx, by)
+    la = sum(math.hypot(nax[i + 1] - nax[i], nay[i + 1] - nay[i])
+             for i in range(len(nax) - 1))
+    lb = sum(math.hypot(nbx[i + 1] - nbx[i], nby[i + 1] - nby[i])
+             for i in range(len(nbx) - 1))
+    geo = math.sqrt(la * lb)
+    num = sum(nby[i] * nax[i] - nbx[i] * nay[i] for i in range(est))
+    den = sum(nbx[i] * nax[i] + nby[i] * nay[i] for i in range(est))
+    tp = math.atan2(num, den)
+    thetas = [0.0]
+    if abs(tp) < restrict and tp != 0:
+        thetas.append(tp)
+    thetas += [-restrict + 2 * i * restrict / (rotations - 1)
+               for i in range(rotations)]
+    best = float("inf")
+    for th in thetas:
+        c, s = math.cos(th), math.sin(th)
+        rx = [c * x - s * y for x, y in zip(nax, nay)]
+        ry = [s * x + c * y for x, y in zip(nax, nay)]
+        best = min(best, frechet(rx, ry, nbx, nby))
+    if geo == 0:
+        return 1.0 if best == 0 else 0.0
+    return max(0.0, min(1.0, 1.0 - best / (geo / math.sqrt(2))))
+
+
+def test_shape_similarity_matches_independent_port():
+    """kernels.shape_similarity == an independent plain-python port of the
+    published curve-matcher algorithm, on straight / curved / rotated /
+    translated+scaled fixture curves."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    t = np.linspace(0, 1, 23)
+    curves = [
+        (t, np.zeros_like(t)),                        # straight
+        (t, 0.2 * np.sin(3 * t)),                     # curved
+        (t * 0.7 + 5.0, 0.2 * np.sin(3 * t) * 0.7),   # scaled+translated curved
+        (t * np.cos(0.2) - 0.2 * np.sin(3 * t) * np.sin(0.2),
+         t * np.sin(0.2) + 0.2 * np.sin(3 * t) * np.cos(0.2)),  # rotated 0.2rad
+        (np.cos(t * 2), np.sin(t * 2)),               # arc
+    ]
+    for ax, ay in curves:
+        for bx, by in curves:
+            got = K.shape_similarity(ax, ay, bx, by)
+            want = _shape_similarity_port(ax, ay, bx, by)
+            assert got == pytest.approx(want, abs=1e-9), (got, want)
+
+
+def test_shape_similarity_invariances():
+    """Similarity semantics: identity = 1; translation+scale invariant;
+    a rotation beyond the restriction window is penalized when the window
+    is tight."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_spark import kernels as K
+
+    t = np.linspace(0, 1, 30)
+    ax, ay = t, 0.3 * np.sin(2.5 * t)
+    assert K.shape_similarity(ax, ay, ax, ay) == 1.0
+    assert K.shape_similarity(ax, ay, ax * 4 + 9, ay * 4 - 2) == pytest.approx(
+        1.0, abs=1e-9
+    )
+    # rotate by 0.4*pi: outside the reference's 0.1*pi restriction window
+    th = 0.4 * np.pi
+    rx = ax * np.cos(th) - ay * np.sin(th)
+    ry = ax * np.sin(th) + ay * np.cos(th)
+    restricted = K.shape_similarity(ax, ay, rx, ry, restrict_rotation=0.1 * np.pi)
+    free = K.shape_similarity(ax, ay, rx, ry, restrict_rotation=np.pi)
+    assert free > restricted
+    assert restricted < 0.95

@@ -73,7 +73,7 @@ def test_scores_equal_oracle(pipeline_out, oracle_out):
     assert len(eng) == len(orc)
     for k in key + ["segment_id"]:
         assert (eng[k].values == orc[k].values).all(), f"col {k}"
-    for k in ["frechet_km", "hausdorff_km", "mean_dev_km"]:
+    for k in ["frechet_km", "hausdorff_km", "mean_dev_km", "shape_similarity"]:
         assert np.allclose(eng[k].values, orc[k].values, atol=1e-9), f"col {k}"
 
 
