@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import kernels as K
+from .spatial_join import _slab_rows
 
 POINTS_PER_KM = 50  # frechet.js:6 pointsPerKm
 
@@ -134,27 +135,33 @@ def score_matches(matches: DataFrame, segments: DataFrame, osm: DataFrame) -> Da
                     (i, sx, sy, tx, ty)
                 )
             for (ns, nt, n), items in groups.items():
-                SX = np.stack([it[1] for it in items])
-                SY = np.stack([it[2] for it in items])
-                TX = np.stack([it[3] for it in items])
-                TY = np.stack([it[4] for it in items])
-                rs = [K.resample_polyline(it[1], it[2], n) for it in items]
-                rt = [K.resample_polyline(it[3], it[4], n) for it in items]
-                RSX = np.stack([r[0] for r in rs])
-                RSY = np.stack([r[1] for r in rs])
-                RTX = np.stack([r[0] for r in rt])
-                RTY = np.stack([r[1] for r in rt])
-                fr = K.discrete_frechet_km_batch(RSX, RSY, RTX, RTY)
-                hd = K.hausdorff_km_batch(SX, SY, TX, TY)
-                md = K.mean_dev_km_batch(SX, SY, TX, TY)
-                ss = K.shape_similarity_batch(RSX, RSY, RTX, RTY)
-                idxs = [it[0] for it in items]
-                for c in meta_cols:
-                    rows[c].extend(meta[c][idxs])
-                rows["frechet_km"].extend(fr)
-                rows["hausdorff_km"].extend(hd)
-                rows["mean_dev_km"].extend(md)
-                rows["shape_similarity"].extend(ss)
+                # slab cap: the Fréchet DP / snap tensors are (slab, n, n)
+                # and (slab, ns, nt) float64 — bounded slabs keep them
+                # cache-resident (see spatial_join.KERNEL_SLAB_ELEMS)
+                slab = _slab_rows(max(n * n, ns * nt, nt * ns, 50 * 50))
+                for s0 in range(0, len(items), slab):
+                    sl = items[s0 : s0 + slab]
+                    SX = np.stack([it[1] for it in sl])
+                    SY = np.stack([it[2] for it in sl])
+                    TX = np.stack([it[3] for it in sl])
+                    TY = np.stack([it[4] for it in sl])
+                    rs = [K.resample_polyline(it[1], it[2], n) for it in sl]
+                    rt = [K.resample_polyline(it[3], it[4], n) for it in sl]
+                    RSX = np.stack([r[0] for r in rs])
+                    RSY = np.stack([r[1] for r in rs])
+                    RTX = np.stack([r[0] for r in rt])
+                    RTY = np.stack([r[1] for r in rt])
+                    fr = K.discrete_frechet_km_batch(RSX, RSY, RTX, RTY)
+                    hd = K.hausdorff_km_batch(SX, SY, TX, TY)
+                    md = K.mean_dev_km_batch(SX, SY, TX, TY)
+                    ss = K.shape_similarity_batch(RSX, RSY, RTX, RTY)
+                    idxs = [it[0] for it in sl]
+                    for c in meta_cols:
+                        rows[c].extend(meta[c][idxs])
+                    rows["frechet_km"].extend(fr)
+                    rows["hausdorff_km"].extend(hd)
+                    rows["mean_dev_km"].extend(md)
+                    rows["shape_similarity"].extend(ss)
             yield pd.DataFrame(rows)
 
     return inp.mapInPandas(kernel, SCORES_SCHEMA)

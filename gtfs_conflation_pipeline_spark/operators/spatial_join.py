@@ -55,6 +55,18 @@ CORRIDOR_KM = 0.03  # 30 m refine radius (stop jitter <=20 m, perturb 3 m)
 MIN_COVER_RATIO = 0.10  # MATCHES_LENGTH_RATIO_THOLD (shstMatchFeatures.js:47)
 OVERLAP_TOL = 0.20  # greedy cover: max fraction of a candidate already covered
 
+# Slab cap for packed geometry kernels: each vectorized call materializes
+# ~(slab, ~4*na, nb) float64 projection tensors; capping the element count
+# keeps the working set L2-resident (~1.5 MB/tensor) instead of streaming
+# multi-100MB transients through DRAM — measured 3-60x on this host, where
+# large fresh allocations additionally page-fault at MB/s rates (CLAUDE.md
+# memory-noise rule). Generic cache-locality win, not just a host quirk.
+KERNEL_SLAB_ELEMS = 200_000
+
+
+def _slab_rows(per_pair_elems: int) -> int:
+    return max(32, KERNEL_SLAB_ELEMS // max(per_pair_elems, 1))
+
 REFINE_SCHEMA = T.StructType(
     [
         T.StructField("shape_id", T.StringType()),
@@ -205,19 +217,24 @@ def refine(pairs: DataFrame, corridor_km: float = CORRIDOR_KM) -> DataFrame:
             for (na, nb), idxs in groups.items():
                 if na < 2 or nb < 2:
                     continue  # short-cutoff rejects these (scalar parity)
-                AX = np.stack([np.asarray(gx[i], dtype=np.float64) for i in idxs])
-                AY = np.stack([np.asarray(gy[i], dtype=np.float64) for i in idxs])
-                BX = np.stack([np.asarray(ox[i], dtype=np.float64) for i in idxs])
-                BY = np.stack([np.asarray(oy[i], dtype=np.float64) for i in idxs])
-                ok, m = K.corridor_match_batch(AX, AY, BX, BY, radius_km=corridor_km)
-                keep = np.where(ok)[0]
-                if keep.size == 0:
-                    continue
-                kept_idx = [idxs[j] for j in keep]
-                for c in _META_COLS:
-                    rows[c].extend(meta[c][kept_idx])
-                for out_c, m_k in _OUT_KEYS:
-                    rows[out_c].extend(m[m_k][keep])
+                slab = _slab_rows((4 * na - 3) * nb)
+                for s0 in range(0, len(idxs), slab):
+                    sl = idxs[s0 : s0 + slab]
+                    AX = np.stack([np.asarray(gx[i], dtype=np.float64) for i in sl])
+                    AY = np.stack([np.asarray(gy[i], dtype=np.float64) for i in sl])
+                    BX = np.stack([np.asarray(ox[i], dtype=np.float64) for i in sl])
+                    BY = np.stack([np.asarray(oy[i], dtype=np.float64) for i in sl])
+                    ok, m = K.corridor_match_batch(
+                        AX, AY, BX, BY, radius_km=corridor_km
+                    )
+                    keep = np.where(ok)[0]
+                    if keep.size == 0:
+                        continue
+                    kept_idx = [sl[j] for j in keep]
+                    for c in _META_COLS:
+                        rows[c].extend(meta[c][kept_idx])
+                    for out_c, m_k in _OUT_KEYS:
+                        rows[out_c].extend(m[m_k][keep])
             yield pd.DataFrame(rows)
 
     return pairs.mapInPandas(kernel, REFINE_SCHEMA)
@@ -488,9 +505,10 @@ def map_segments_cospatiality(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # cross-pair packing (round-3, same treatment as the flagship
         # refine): group pairs by (vertex-count-A, vertex-count-B), one
-        # vectorized cospatiality_two_sided_batch call per group — removes
-        # the ~1 ms/pair small-array dispatch from the hot loop; outputs
-        # are value-identical to the scalar kernel (asserted in tests)
+        # vectorized cospatiality_two_sided_batch call per bounded slab —
+        # removes the ~1 ms/pair small-array dispatch from the hot loop;
+        # outputs are value-identical to the scalar kernel (asserted in
+        # tests)
         for pdf in batches:
             rows = {f.name: [] for f in COSPATIALITY_SCHEMA.fields}
             axs = pdf["a_xs"].to_numpy()
@@ -505,21 +523,24 @@ def map_segments_cospatiality(
             for (na, nb), idxs in groups.items():
                 if na < 2 or nb < 2:
                     continue  # short-line cutoff rejects these (scalar parity)
-                AX = np.stack([np.asarray(axs[i], dtype=np.float64) for i in idxs])
-                AY = np.stack([np.asarray(ays[i], dtype=np.float64) for i in idxs])
-                BX = np.stack([np.asarray(bxs[i], dtype=np.float64) for i in idxs])
-                BY = np.stack([np.asarray(bys[i], dtype=np.float64) for i in idxs])
-                ok, m = K.cospatiality_two_sided_batch(
-                    AX, AY, BX, BY, radius_km=radius_km
-                )
-                keep = np.where(ok)[0]
-                if keep.size == 0:
-                    continue
-                kept_idx = [idxs[j] for j in keep]
-                rows["segment_id_a"].extend(ida[kept_idx])
-                rows["segment_id_b"].extend(idb[kept_idx])
-                for k in out_keys:
-                    rows[k].extend(m[k][keep])
+                slab = _slab_rows(max((4 * na - 3) * nb, (4 * nb - 3) * na))
+                for s0 in range(0, len(idxs), slab):
+                    sl = idxs[s0 : s0 + slab]
+                    AX = np.stack([np.asarray(axs[i], dtype=np.float64) for i in sl])
+                    AY = np.stack([np.asarray(ays[i], dtype=np.float64) for i in sl])
+                    BX = np.stack([np.asarray(bxs[i], dtype=np.float64) for i in sl])
+                    BY = np.stack([np.asarray(bys[i], dtype=np.float64) for i in sl])
+                    ok, m = K.cospatiality_two_sided_batch(
+                        AX, AY, BX, BY, radius_km=radius_km
+                    )
+                    keep = np.where(ok)[0]
+                    if keep.size == 0:
+                        continue
+                    kept_idx = [sl[j] for j in keep]
+                    rows["segment_id_a"].extend(ida[kept_idx])
+                    rows["segment_id_b"].extend(idb[kept_idx])
+                    for k in out_keys:
+                        rows[k].extend(m[k][keep])
             yield pd.DataFrame(rows)
 
     return attached.mapInPandas(kernel, COSPATIALITY_SCHEMA)
