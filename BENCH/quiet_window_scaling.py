@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Opportunistic scaling evidence: poll for a quiet co-tenant window (low
+load + high parallel-probe ceiling), then run ONE calibrated scaling
+attempt; stop as soon as an attempt clears the 0.8 north-rule bar.
+
+The box's spare capacity swings 2-30 cores minute to minute (BASELINE.md
+methodology); launching attempts blind wastes 10-minute runs on windows
+where the机 hardware itself cannot parallelize. This wrapper spends seconds
+probing instead, and only pays for a full attempt when the machine can.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N = int(os.environ.get("SCALE_N", "4"))
+TARGET = float(os.environ.get("SCALE_TARGET", "0.8"))
+MAX_MINUTES = float(os.environ.get("SCALE_MAX_MINUTES", "50"))
+POLL_SEC = int(os.environ.get("SCALE_POLL_SEC", "60"))
+MIN_CEILING = float(os.environ.get("SCALE_MIN_CEILING", "3.0"))
+OUT = os.path.join(REPO, "BENCH", "scaling_result_r3.json")
+
+
+def _probe_work(n):
+    import numpy as np
+
+    a = np.random.default_rng(1).random((200, 200))
+    s = 0.0
+    for _ in range(n):
+        s += float((a @ a).sum())
+    return s
+
+
+def probe_ceiling() -> float:
+    times = {}
+    for procs in (N, 4 * N):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_probe_work, [400] * procs)
+            best = min(best, time.time() - t0)
+        times[procs] = best
+    # per-proc throughput ratio: ideal == 4
+    return (times[N] / times[4 * N]) * 4 if times[4 * N] > 0 else 0.0
+
+
+def main() -> None:
+    deadline = time.time() + MAX_MINUTES * 60
+    attempts = []
+    while time.time() < deadline:
+        load1 = os.getloadavg()[0]
+        ceiling = probe_ceiling() if load1 < 8 else 0.0
+        print(
+            f"[poll] load1={load1:.1f} ceiling={ceiling:.2f}", flush=True
+        )
+        if ceiling < MIN_CEILING:
+            time.sleep(POLL_SEC)
+            continue
+        env = dict(os.environ, SCALE_N=str(N), SCALE_ATTEMPTS="1")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "BENCH", "scaling_runner.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            print("[attempt] runner produced no JSON; stderr tail:", r.stderr[-500:], flush=True)
+            time.sleep(POLL_SEC)
+            continue
+        att = json.loads(lines[0])
+        attempts.append(att)
+        print(f"[attempt] efficiency={att.get('efficiency')}", flush=True)
+        with open(OUT, "w") as f:
+            json.dump({"attempts": attempts}, f, indent=1)
+        if att.get("efficiency", 0) >= TARGET:
+            print(f"[done] cleared {TARGET}", flush=True)
+            return
+    print("[done] deadline reached", flush=True)
+
+
+if __name__ == "__main__":
+    main()
