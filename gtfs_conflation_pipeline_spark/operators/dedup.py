@@ -134,8 +134,25 @@ def ngram_jaccard_pairs(
     salt_hot_shingles: int | None = None,
     auto_df_cut_min_docs: int = AUTO_DF_CUT_MIN_DOCS,
     n_docs: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+    """n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+
+    `hash_shingles` (default): the per-doc DISTINCT shingle strings are
+    mapped to 48-bit `word_hash` longs before the self-join — the shuffle
+    key is 8 bytes instead of a ~25-byte string and the join/agg compare
+    longs. Jaccard is then over hashed shingles: values differ from the
+    string-exact operator only when two distinct shingles of compared docs
+    collide in 48 bits (P ~ s^2/2^49 per doc pair — negligible below ~10M
+    distinct shingles per doc pair; the DuckDB oracle hashes identically,
+    so the correctness gate is exact either way). `hash_shingles=False`
+    keeps string keys.
+
+    Plan shape: the shingle explode is computed ONCE — repartitioned to
+    cluster parallelism (document parquet split counts would cap the
+    tokenize/explode stage) and persisted (memory+disk spill), because
+    three consumers read it (df-cut freq, per-doc sizes, the self-join's
+    two sides); without the persist Spark re-tokenizes the corpus 3x.
 
     Skew guards for web scale: df-cut (`max_shingle_freq`) drops ubiquitous
     shingles before the self-join — auto-engaged above
@@ -144,12 +161,19 @@ def ngram_jaccard_pairs(
     (operators.skew) with that salt factor — for shingles that are hot but
     below the df-cut.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    from pyspark import StorageLevel
+
+    sh_expr = shingles(F.col(text_col), n)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
+        F.col(id_col).alias("doc"), F.explode(sh_expr).alias("sh")
     )
+    if hash_shingles:
+        sh = sh.withColumn("sh", word_hash(F.col("sh")))
     sh = _apply_df_cut(
         sh, df, max_shingle_freq, auto_df_cut_min_docs, "ngram_jaccard", n_docs=n_docs
     )
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")

@@ -794,13 +794,18 @@ def q_ngram_jaccard(spark, sf):
 
 SQL_NGRAM_JACCARD = f"""
 WITH docs AS (SELECT * FROM {_DOCS_DUP_SQL} d),
-sh AS (
+sh_str AS (
   SELECT DISTINCT doc_id AS doc, sh FROM (
     SELECT doc_id,
            w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t,
          unnest(generate_series(1, greatest(len(w) - 2, 1))) AS g(i)
     WHERE i + 2 <= len(w)) s
+),
+-- 48-bit shingle hash, identical to the engine's word_hash (md5 first 12
+-- hex chars as BIGINT): distinct STRINGS first, then hash, like the engine
+sh AS (
+  SELECT doc, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sh FROM sh_str
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 inter AS (
