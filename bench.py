@@ -155,11 +155,23 @@ def main() -> None:
     from gtfs_conflation_pipeline_spark.plans.queries import QUERIES
 
     spark = get_spark("bench", cores=CPUS)
+    # Session warm-up: python-worker spawn, whole-stage-codegen JIT and the
+    # parquet reader path are one-time session costs, not query costs — the
+    # first timed query used to absorb ~4-5 s of them (round-3 methodology
+    # fix, recorded in BENCH/BASELINE.md §5). Queries are then timed
+    # min-of-2, matching the flagship's existing min-of-2 discipline on
+    # this co-tenant-noisy box.
+    spark.range(1 << 22).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     q_times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).count()
-        q_times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        q_times[name] = round(best, 3)
 
     work = "/tmp/spark_graft_bench_flagship"
     shutil.rmtree(work, ignore_errors=True)
