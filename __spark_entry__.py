@@ -11,12 +11,16 @@ oracle_sql()   — matching ANSI SQL for DuckDB: the pre-registered testdata
                  stage's direct-input checkpoints — run the Spark query
                  first; it materializes them. Entries absent here
                  (conflation_matches, tile_assignments, match_paths,
-                 map_cospatiality, match_scores, minhash_lsh, simhash_pairs,
-                 phash_neardup, lsh_ann, ivf_ann, image_decode_stats) are
-                 non-SQL-expressible (geometry kernels / LSH / binary
-                 payload decode) and take the rows-only check; the geometry
-                 ones are instead verified exactly against a pure-numpy
-                 oracle in tests/test_pipeline_e2e.py, and the LSH family
+                 map_cospatiality, match_scores, redundant_removal,
+                 minhash_lsh, simhash_pairs, phash_neardup, lsh_ann,
+                 ivf_ann, image_decode_stats) are non-SQL-expressible
+                 (geometry kernels / iterative or order-dependent greedy
+                 logic / LSH / binary payload decode) and take the
+                 rows-only check; the geometry ones are instead verified
+                 exactly against a pure-numpy oracle in
+                 tests/test_pipeline_e2e.py, the greedy coord-subset
+                 pruning against exhaustive fixtures in
+                 tests/test_redundant_matches.py, and the LSH family
                  against brute-force siblings in tests/test_dedup_recall.py.
 """
 

@@ -143,8 +143,11 @@ def main() -> None:
 
     if "--flagship-only" in sys.argv:
         spark = get_spark("bench_flagship", cores=CPUS)
+        # default work dir keyed by input scale: a stale checkpoint from a
+        # different N_IMAGES must never be resumed (bit a round-3 sample)
         work = os.environ.get(
-            "SPARK_GRAFT_BENCH_WORKDIR", f"/tmp/spark_graft_bench_c{CPUS}"
+            "SPARK_GRAFT_BENCH_WORKDIR",
+            f"/tmp/spark_graft_bench_c{CPUS}_n{N_IMAGES}",
         )
         res = run_flagship(spark, N_IMAGES, work)
         res["cores"] = CPUS
