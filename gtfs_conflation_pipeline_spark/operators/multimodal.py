@@ -2,10 +2,19 @@
 
 Payloads are opaque `binary` columns with typed metadata beside them (the
 input_hint schema: bytes/w/h/fmt). The Spark-side plumbing — schemas,
-Arrow batch shapes, partitioning — is real and tested; the actual
-image-codec decode is STUBBED (no PIL/ffmpeg in this container): 'raw' format
-decodes for real (numpy frombuffer), any other format raises
-NotImplementedError at the decode site, clearly marked.
+Arrow batch shapes, partitioning — is real and tested. Codecs:
+
+- 'raw'  — C-order uint8 buffer (lossless, real).
+- 'qraw' — 2-bit-quantized raw (deterministic lossy stand-in).
+- 'dct'  — REAL lossy block-DCT codec, pure numpy (round-3): JPEG-style
+  8x8 DCT-II with the public IJG quality-scaled luminance quantization
+  table, packbits zero-mask + int16 nonzeros as the (simple,
+  deterministic) entropy stage. No external image library needed — the
+  decode -> feature-extract path runs end-to-end on genuinely compressed
+  payloads in this container.
+- anything else (jpeg/png/webp hardware paths) raises NotImplementedError
+  at the decode seam, clearly marked — a turbojpeg/PIL codec plugs into
+  the same `decode_image` function on a cluster that ships one.
 
 All operators are mapInPandas over Arrow batches — bytes never pass through
 per-row Python UDFs.
@@ -13,6 +22,7 @@ per-row Python UDFs.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,6 +43,105 @@ DECODE_STATS_SCHEMA = T.StructType(
 )
 
 
+# --- pure-numpy 8x8 block-DCT codec ('dct') --------------------------------
+
+# Standard JPEG luminance quantization table (public, IJG / ITU T.81 K.1);
+# applied to all three channels for simplicity (documented deviation from
+# JPEG's chroma handling — this is a codec for the decode seam, not JFIF).
+_JPEG_Q50 = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+_DCT_MAGIC = b"DCT1"
+
+
+def _dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: D[i,j] = c_i cos((2j+1) i pi/16)."""
+    i = np.arange(8)[:, None]
+    j = np.arange(8)[None, :]
+    D = np.cos((2 * j + 1) * i * np.pi / 16.0)
+    D[0] *= np.sqrt(1.0 / 8.0)
+    D[1:] *= np.sqrt(2.0 / 8.0)
+    return D
+
+
+_D = _dct_mat()
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """IJG quality scaling of the base table (quality 1..100)."""
+    q = int(min(max(quality, 1), 100))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    return np.clip(np.floor((_JPEG_Q50 * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
+def _to_blocks(px: np.ndarray):
+    """(w, h, 3) uint8 -> (3*nb, 8, 8) float64 blocks + padded dims."""
+    w, h, _ = px.shape
+    pw, ph = -(-w // 8) * 8, -(-h // 8) * 8
+    padded = np.pad(px, ((0, pw - w), (0, ph - h), (0, 0)), mode="edge")
+    # channel-major deterministic block order
+    b = padded.transpose(2, 0, 1).reshape(3, pw // 8, 8, ph // 8, 8)
+    return (
+        b.transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8).astype(np.float64),
+        pw,
+        ph,
+    )
+
+
+def _from_blocks(blocks: np.ndarray, w: int, h: int, pw: int, ph: int) -> np.ndarray:
+    b = blocks.reshape(3, pw // 8, ph // 8, 8, 8).transpose(0, 1, 3, 2, 4)
+    return b.reshape(3, pw, ph).transpose(1, 2, 0)[:w, :h, :]
+
+
+def encode_dct(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Lossy 'dct' encode: 8x8 DCT-II, quality-scaled quantization, then a
+    packbits nonzero mask + int16 nonzero coefficients (deterministic)."""
+    w, h, _ = pixels.shape
+    blocks, pw, ph = _to_blocks(pixels)
+    Qt = _quant_table(quality)
+    coeffs = np.einsum("ij,njk,lk->nil", _D, blocks - 128.0, _D)
+    q = np.round(coeffs / Qt).astype(np.int16)
+    flat = q.ravel()
+    mask = flat != 0
+    header = struct.pack("<HHHHB", w, h, pw, ph, int(quality))
+    return (
+        _DCT_MAGIC
+        + header
+        + np.packbits(mask).tobytes()
+        + flat[mask].astype("<i2").tobytes()
+    )
+
+
+def decode_dct(buf: bytes) -> np.ndarray:
+    if buf[:4] != _DCT_MAGIC:
+        raise ValueError("not a DCT1 payload")
+    w, h, pw, ph, quality = struct.unpack("<HHHHB", buf[4:13])
+    n_coef = 3 * pw * ph
+    n_mask_bytes = -(-n_coef // 8)
+    off = 13
+    mask = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, count=n_mask_bytes, offset=off)
+    )[:n_coef].astype(bool)
+    vals = np.frombuffer(buf, dtype="<i2", offset=off + n_mask_bytes)
+    flat = np.zeros(n_coef, dtype=np.float64)
+    flat[mask] = vals
+    q = flat.reshape(-1, 8, 8) * _quant_table(quality)
+    blocks = np.einsum("ji,njk,kl->nil", _D, q, _D) + 128.0
+    out = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
+    return _from_blocks(out, w, h, pw, ph)
+
+
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one payload to an (w, h, 3) uint8 array.
 
@@ -41,6 +150,7 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
              stored with the low 2 bits dropped; decode reconstructs the
              bucket midpoint). Max per-pixel error 2 -> PSNR >= 40 dB by
              construction, exercising the input_hint lossy gate.
+    'dct'  = real block-DCT codec (encode_dct / decode_dct above).
     Other codecs are stubbed: the Spark plumbing around this call is
     complete; swap in a real codec (PIL/turbojpeg) on a cluster with one.
     """
@@ -49,9 +159,11 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "qraw":
         q = np.frombuffer(buf, dtype=np.uint8).reshape(w, h, 3)
         return (q & 0xFC) | 0x02
+    if fmt == "dct":
+        return decode_dct(bytes(buf))
     raise NotImplementedError(
         f"image codec '{fmt}' is stubbed in this environment (no image libs); "
-        "only fmt='raw'/'qraw' decode"
+        "only fmt='raw'/'qraw'/'dct' decode"
     )
 
 
@@ -135,6 +247,41 @@ def image_embeddings(images: DataFrame, bins: int = 16) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, EMBED_SCHEMA
+    )
+
+
+def transcode(images: DataFrame, to_fmt: str = "dct", quality: int = 90) -> DataFrame:
+    """Re-encode payloads into another codec (raw/qraw -> 'dct'): the
+    ingest-compression step of an image pipeline, Arrow-batched. Output
+    keeps the input_hint schema (bytes/w/h/fmt), so every downstream
+    operator (decode_stats / image_embeddings / resize_nearest) runs on the
+    compressed payloads unchanged."""
+    if to_fmt not in ("dct", "qraw", "raw"):
+        raise NotImplementedError(f"transcode target '{to_fmt}' not available here")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                px = decode_image(b, w, h, f)
+                if to_fmt == "dct":
+                    out.append(encode_dct(px, quality=quality))
+                elif to_fmt == "qraw":
+                    out.append(encode_qraw(px))
+                else:
+                    out.append(px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": pdf["w"].astype("int32"),
+                    "h": pdf["h"].astype("int32"),
+                    "bytes": out,
+                    "fmt": np.full(len(pdf), to_fmt, dtype=object),
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, RESIZE_SCHEMA
     )
 
 

@@ -1480,6 +1480,20 @@ def q_image_decode_stats(spark, sf):
     return multimodal.decode_stats(img).orderBy("image_id")
 
 
+def q_image_transcode_dct(spark, sf):
+    """Ingest-compression path: raw payloads -> the pure-numpy block-DCT
+    codec ('dct', quality 90) -> decode stats over the COMPRESSED payloads.
+    Exercises a real lossy codec end-to-end with no external image library
+    (rows-only: binary payloads are not SQL-expressible; PSNR/round-trip
+    gates live in tests/test_stateful_and_psnr.py)."""
+    from ..operators import multimodal
+    from .. import fixtures as FX
+
+    img = FX.images_table(spark, 500, partitions=8)
+    dct = multimodal.transcode(img, to_fmt="dct", quality=90)
+    return multimodal.decode_stats(dct).orderBy("image_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1533,6 +1547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "image_embed_topk": q_image_embed_topk,
     "image_decode_stats": q_image_decode_stats,
+    "image_transcode_dct": q_image_transcode_dct,
     "match_scores": q_match_scores,
     "match_paths": q_match_paths,
     "map_cospatiality": q_map_cospatiality,

@@ -326,3 +326,23 @@ def test_keep_canonical_drops_all_but_min(spark):
     clusters = dedup.dedup_clusters(pairs)
     kept = dedup.keep_canonical(docs, clusters)
     assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
+
+
+def test_ngram_plan_tokenizes_once(spark):
+    """Plan contract (round-3): the shingle tokenize/explode is computed
+    ONCE and cached — every consumer (per-doc sizes, both self-join sides)
+    reads the InMemoryRelation; no Generate (explode) node exists outside
+    a cached relation, which would mean Spark re-tokenizes the corpus."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " + str(i))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_cached = plan.count("InMemoryRelation")
+    n_generate = plan.count("Generate")
+    assert n_cached >= 3  # sizes + two join sides at minimum
+    assert n_generate <= n_cached, (
+        f"{n_generate - n_cached} uncached tokenize pass(es) in the plan"
+    )
