@@ -263,6 +263,60 @@ def osm_segments_table(
     return spark.range(0, n_seg_slots, numPartitions=parts).mapInPandas(gen, OSM_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+AUDIO_RATE = 8000  # Hz
+
+
+def audio_clip(i: int) -> np.ndarray:
+    """Deterministic mono PCM16 clip for row i: a two-tone mixture whose
+    frequencies/amplitudes derive from splitmix64(i), 0.25-1.0 s long —
+    enough spectral structure for feature extraction to be meaningful."""
+    h = int(K.splitmix64(np.array([i], dtype=np.uint64))[0])
+    n = AUDIO_RATE // 4 + (h & 0xFFF) % (3 * AUDIO_RATE // 4)
+    f1 = 100.0 + ((h >> 12) & 0xFFF) % 2900  # 100..3000 Hz (< Nyquist)
+    f2 = 100.0 + ((h >> 24) & 0xFFF) % 2900
+    a2 = (((h >> 36) & 0xFF) / 255.0) * 0.5
+    t = np.arange(n, dtype=np.float64) / AUDIO_RATE
+    x = 0.6 * np.sin(2 * np.pi * f1 * t) + a2 * np.sin(2 * np.pi * f2 * t)
+    return np.clip(np.round(x * 20000.0), -32768, 32767).astype(np.int16)
+
+
+def audio_batch(i: np.ndarray) -> pd.DataFrame:
+    clips = [audio_clip(int(k)) for k in i]
+    return pd.DataFrame(
+        {
+            "audio_id": np.char.add("aud_", np.char.zfill(i.astype(str), 12)),
+            "bytes": [c.tobytes() for c in clips],
+            "sample_rate": np.full(i.size, AUDIO_RATE, dtype=np.int32),
+            "n_samples": np.array([c.size for c in clips], dtype=np.int32),
+            "fmt": np.full(i.size, "pcm16", dtype=object),
+        }
+    )
+
+
+def audio_table(
+    spark: SparkSession, n_clips: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic audio analog of images_table (opaque binary + typed
+    metadata; generated map-side, no shuffle)."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield audio_batch(pdf["id"].values)
+
+    return spark.range(0, n_clips, numPartitions=parts).mapInPandas(gen, AUDIO_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # GTFS-analog relational tables (derived from the images table — the pipeline
 # input side; schemas mirror reference RawGtfsDAO/createTableFns.js)

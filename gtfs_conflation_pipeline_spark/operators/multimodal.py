@@ -321,3 +321,113 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         kernel, RESIZE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# audio modality — REAL decode + numpy-FFT feature extraction (no stubs:
+# PCM16 decode is a frombuffer, spectra come from numpy's rfft)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
+    """Decode one audio payload to float64 samples in [-1, 1).
+
+    'pcm16' = little-endian mono int16 PCM (real). Compressed codecs
+    (mp3/opus/flac) are stubbed at this seam — same pattern as the image
+    decode seam; a soundfile/ffmpeg decoder plugs in on a cluster that
+    ships one."""
+    if fmt == "pcm16":
+        return np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+    raise NotImplementedError(
+        f"audio codec '{fmt}' is stubbed in this environment; only 'pcm16' decodes"
+    )
+
+
+def audio_features(audio: DataFrame, n_bands: int = 16) -> DataFrame:
+    """Per-clip acoustic features, Arrow-batched: duration, RMS level,
+    spectral centroid (Hz), and an L2-normalized `n_bands`-band energy
+    vector over linearly spaced rfft bins — the feature column that feeds
+    the similarity/ANN/near-dup operators for the audio modality (the
+    learned-encoder slot, like image_embeddings for images)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields}
+            for b, sr, f in zip(pdf["bytes"], pdf["sample_rate"], pdf["fmt"]):
+                x = decode_audio(b, f)
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
+                power = spec * spec
+                tot = power.sum()
+                centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+                # linear bands over [0, Nyquist]
+                idx = np.minimum(
+                    (freqs / (sr / 2.0) * n_bands).astype(np.int64), n_bands - 1
+                )
+                bands = np.bincount(idx, weights=power, minlength=n_bands)
+                nb = np.linalg.norm(bands)
+                rows["audio_id"].append(None)  # placeholder, set below
+                rows["duration_sec"].append(float(x.size) / float(sr))
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+                rows["spectral_centroid_hz"].append(centroid)
+                rows["band_energy"].append(
+                    (bands / nb if nb > 0 else bands).tolist()
+                )
+            rows["audio_id"] = list(pdf["audio_id"])
+            yield pd.DataFrame(rows)
+
+    return audio.select("audio_id", "bytes", "sample_rate", "fmt").mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resample_audio(audio: DataFrame, target_rate: int) -> DataFrame:
+    """Linear-interpolation resample to `target_rate` (real, numpy interp) —
+    the audio analog of resize_nearest; output stays pcm16."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_b, out_n = [], []
+            for b, sr, f in zip(pdf["bytes"], pdf["sample_rate"], pdf["fmt"]):
+                x = decode_audio(b, f)
+                n_out = max(1, int(round(x.size * target_rate / sr)))
+                t_out = np.arange(n_out, dtype=np.float64) * (sr / target_rate)
+                y = np.interp(t_out, np.arange(x.size, dtype=np.float64), x)
+                out_b.append(
+                    np.clip(np.round(y * 32768.0), -32768, 32767)
+                    .astype("<i2")
+                    .tobytes()
+                )
+                out_n.append(n_out)
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "bytes": out_b,
+                    "sample_rate": np.full(len(pdf), target_rate, dtype="int32"),
+                    "n_samples": np.array(out_n, dtype="int32"),
+                    "fmt": pdf["fmt"],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+    return audio.select(
+        "audio_id", "bytes", "sample_rate", "n_samples", "fmt"
+    ).mapInPandas(kernel, schema)

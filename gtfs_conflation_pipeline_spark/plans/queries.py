@@ -1248,6 +1248,19 @@ def q_redundant_removal(spark, sf):
     )
 
 
+def q_audio_features(spark, sf):
+    """Audio modality: pcm16 decode (real) -> numpy-FFT features (duration,
+    RMS, spectral centroid, 16-band L2-normalized energy vector) over the
+    deterministic fixture clip table. Rows-only (FFT is not
+    SQL-expressible); pure-tone ground-truth and determinism gates live in
+    tests/test_audio.py."""
+    from .. import fixtures as FX
+    from ..operators import multimodal
+
+    aud = FX.audio_table(spark, 300, partitions=8)
+    return multimodal.audio_features(aud).orderBy("audio_id")
+
+
 def q_service_dates(spark, sf):
     """Stage-5 calendar semantics (date series + dow flags + exceptions)."""
     return _pipeline(spark)["service_dates"].orderBy("service_id", "date")
@@ -1548,6 +1561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_embed_topk": q_image_embed_topk,
     "image_decode_stats": q_image_decode_stats,
     "image_transcode_dct": q_image_transcode_dct,
+    "audio_features": q_audio_features,
     "match_scores": q_match_scores,
     "match_paths": q_match_paths,
     "map_cospatiality": q_map_cospatiality,
