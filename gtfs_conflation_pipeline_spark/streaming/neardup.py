@@ -1,0 +1,142 @@
+"""Streaming near-duplicate detection — a custom stateful operator.
+
+`streaming_hamming_pairs` is the Structured-Streaming twin of
+`operators.dedup.hamming_near_pairs` (the pigeonhole-bucketed Hamming
+self-join behind SimHash/phash near-dup): documents arrive as
+(id, hash) rows; each is exploded JVM-side into its `max_hamming + 1`
+disjoint hash chunks (any pair within the Hamming budget matches exactly
+on at least one chunk — the same pigeonhole guarantee as batch), and an
+`applyInPandasWithState` operator keyed by (chunk_idx, chunk) compares
+each arriving doc against the bucket's state and emits
+(id_a, id_b, hamming) for every within-budget pair — including pairs
+whose two docs arrived in DIFFERENT micro-batches, which is the point of
+keeping state.
+
+Scale/state contract (explicit, never silent):
+- State per bucket is the (id, hash) list of docs seen in that bucket,
+  CAPPED at `max_docs_per_bucket`; a bucket past its cap stops absorbing
+  new docs into state (they still pair against the existing state) and
+  the overflow is COUNTED in the emitted `dropped` column of the
+  side-channel metric rows (id_a = id_b = -1) rather than silently lost.
+  At web scale, size the cap from the corpus' bucket-occupancy histogram
+  or widen the hash (more distinct buckets) — the same tradeoff
+  hamming_near_pairs documents for batch.
+- A pair within the budget can match in several chunk buckets, so pairs
+  are emitted AT-LEAST-ONCE overall (exactly once per bucket); chain
+  `.dropDuplicates(["id_a", "id_b"])` (or a watermarked variant) on the
+  result for exactly-once, as the batch operator's `.distinct()` does.
+
+Batch equivalence for a drained static input is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("dropped", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("n_dropped", T.LongType()),
+    ]
+)
+
+
+def chunk_exploded(
+    df: DataFrame, id_col: str, hash_col: str, n_bits: int, max_hamming: int
+) -> DataFrame:
+    """(id, h) -> one row per pigeonhole chunk: (chunk_idx, chunk, id, h).
+    Identical chunking to dedup.hamming_near_pairs (unsigned shifts)."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(n_bits, n_chunks)
+    widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(hash_col, offsets[c]).bitwiseAND(
+                        (1 << widths[c]) - 1
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
+def streaming_hamming_pairs(
+    stream: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    max_hamming: int,
+    max_docs_per_bucket: int = 4096,
+) -> DataFrame:
+    """Stateful streaming near-dup pairs over a (id, hash) stream. Returns
+    a streaming DataFrame of PAIRS_SCHEMA rows: real pairs carry
+    dropped == 0; cap-overflow metric rows carry id_a == id_b == -1 and
+    the per-batch overflow count (see module docstring)."""
+    exploded = chunk_exploded(stream, id_col, hash_col, n_bits, max_hamming)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in PAIRS_SCHEMA.fields])
+            return
+        new: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            new.extend(zip(pdf["_id"].astype("int64"), pdf["_h"].astype("int64")))
+        new.sort()  # deterministic order under any arrival schedule
+        if state.exists:
+            ids, hs, n_dropped = state.get
+            ids, hs = list(ids), list(hs)
+        else:
+            ids, hs, n_dropped = [], [], 0
+        rows = []
+        dropped_now = 0
+        for i, h in new:
+            for j, g in zip(ids, hs):
+                if i == j:
+                    continue
+                d = bin((h ^ g) & ((1 << n_bits) - 1)).count("1")
+                if d <= max_hamming:
+                    rows.append((min(i, j), max(i, j), d, 0))
+            if len(ids) < max_docs_per_bucket:
+                ids.append(i)
+                hs.append(h)
+            else:
+                dropped_now += 1
+        if dropped_now:
+            rows.append((-1, -1, 0, dropped_now))
+        state.update((ids, hs, int(n_dropped) + dropped_now))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in PAIRS_SCHEMA.fields]
+        ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int32", "dropped": "int32"})
+
+    return exploded.groupBy("chunk_idx", "chunk").applyInPandasWithState(
+        fn,
+        PAIRS_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

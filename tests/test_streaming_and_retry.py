@@ -109,3 +109,96 @@ def test_retry_ladder_no_double_match(spark):
     ).collect()
     refs = sorted(r.shst_reference for r in res)
     assert refs == ["ref_near"]  # near match found in pass 1; no retry ran
+
+
+def test_streaming_hamming_pairs_equals_batch(spark, tmp_path):
+    """Stateful streaming near-dup (pigeonhole buckets + per-bucket state):
+    drained over a multi-file source (multiple micro-batches, so pairs
+    cross batch boundaries through state), the deduped pair set equals
+    dedup.hamming_near_pairs on the same static input; no cap overflow."""
+    from gtfs_conflation_pipeline_spark.operators import dedup as D
+    from gtfs_conflation_pipeline_spark.streaming.neardup import (
+        PAIRS_SCHEMA,
+        streaming_hamming_pairs,
+    )
+
+    rows = []
+    base = 0x2E9D_3A5C_71B8
+    for i in range(60):
+        h = (base * (i // 6 + 1)) & ((1 << 48) - 1)
+        # clusters of 6 near-identical hashes (flip i%6 low bits)
+        for b in range(i % 6):
+            h ^= 1 << b
+        rows.append((i, h if h < (1 << 47) else h - (1 << 48)))
+    docs = spark.createDataFrame(rows, "id long, h long")
+    src = str(tmp_path / "nd_src")
+    docs.repartition(5).write.parquet(src)  # 5 files -> several micro-batches
+
+    static = spark.read.parquet(src)
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_near_pairs(
+            static, "id", "h", n_bits=48, max_hamming=4
+        ).collect()
+    }
+    assert want  # the fixture actually contains near pairs
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_hamming_pairs(
+        stream, "id", "h", n_bits=48, max_hamming=4
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nd_pairs")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = spark.table("nd_pairs").toPandas()
+    # no silent state overflow
+    assert (got_df[got_df.id_a == -1].dropped.sum() if len(got_df) else 0) == 0
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in got_df[got_df.id_a >= 0].itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_streaming_hamming_cap_overflow_is_counted(spark, tmp_path):
+    """State cap: overflow docs surface as counted metric rows (id_a = -1),
+    never silently."""
+    from gtfs_conflation_pipeline_spark.streaming.neardup import (
+        streaming_hamming_pairs,
+    )
+
+    # 10 identical hashes in one bucket, cap 4 -> 6 dropped
+    docs = spark.createDataFrame([(i, 12345) for i in range(10)], "id long, h long")
+    src = str(tmp_path / "cap_src")
+    docs.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_hamming_pairs(
+        stream, "id", "h", n_bits=48, max_hamming=1, max_docs_per_bucket=4
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cap_pairs")
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cap_pairs").toPandas()
+    # identical hashes pair within every chunk bucket; cap rows counted
+    assert got[got.id_a == -1].dropped.sum() == 6 * 2  # 2 chunks x 6 overflow
+    assert (got[got.id_a >= 0].hamming == 0).all()
