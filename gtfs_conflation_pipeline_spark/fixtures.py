@@ -317,6 +317,65 @@ def audio_table(
     return spark.range(0, n_clips, numPartitions=parts).mapInPandas(gen, AUDIO_SCHEMA)
 
 
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def video_frame(i: int, frame: int) -> np.ndarray:
+    """Deterministic frame `frame` of clip i: the base image pattern
+    drifting by one intensity step per frame (non-zero motion by
+    construction, frame 0 == the still pattern)."""
+    h64, w, hh = image_dims(np.array([i]))
+    n = int(w[0]) * int(hh[0]) * 3
+    base = (
+        np.arange(n, dtype=np.uint64) + (h64[0] & np.uint64(0xFF)) + np.uint64(frame)
+    ) & np.uint64(0xFF)
+    return base.astype(np.uint8).reshape(int(w[0]), int(hh[0]), 3)
+
+
+def video_batch(i: np.ndarray) -> pd.DataFrame:
+    h64, w, hh = image_dims(i)
+    nf = (4 + ((h64 >> np.uint64(40)) % np.uint64(9))).astype(np.int32)  # 4..12
+    out_b = []
+    for k, idx in enumerate(i):
+        frames = [video_frame(int(idx), f) for f in range(int(nf[k]))]
+        out_b.append(b"".join(f.tobytes() for f in frames))
+    return pd.DataFrame(
+        {
+            "video_id": np.char.add("vid_", np.char.zfill(i.astype(str), 12)),
+            "bytes": out_b,
+            "w": w,
+            "h": hh,
+            "n_frames": nf,
+            "fps": np.full(i.size, 10, dtype=np.int32),
+            "fmt": np.full(i.size, "rawv", dtype=object),
+        }
+    )
+
+
+def video_table(
+    spark: SparkSession, n_videos: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic video analog (raw-concatenated frames + typed
+    metadata; generated map-side, no shuffle)."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield video_batch(pdf["id"].values)
+
+    return spark.range(0, n_videos, numPartitions=parts).mapInPandas(gen, VIDEO_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # GTFS-analog relational tables (derived from the images table — the pipeline
 # input side; schemas mirror reference RawGtfsDAO/createTableFns.js)

@@ -431,3 +431,99 @@ def resample_audio(audio: DataFrame, target_rate: int) -> DataFrame:
     return audio.select(
         "audio_id", "bytes", "sample_rate", "n_samples", "fmt"
     ).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# video modality — frame decode / sampling / temporal stats (REAL for the
+# raw-concatenated 'rawv' layout; container codecs stubbed at the same seam)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+    ]
+)
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("mean_motion", T.DoubleType()),
+    ]
+)
+
+
+def decode_video(buf: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
+    """Decode one payload to an (n_frames, w, h, 3) uint8 array. 'rawv' =
+    n_frames C-order raw frames concatenated (real); container codecs
+    (mp4/webm) are stubbed at this seam, same pattern as image/audio."""
+    if fmt == "rawv":
+        return np.frombuffer(buf, dtype=np.uint8).reshape(n_frames, w, h, 3)
+    raise NotImplementedError(
+        f"video codec '{fmt}' is stubbed in this environment; only 'rawv' decodes"
+    )
+
+
+def frame_sample(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Sample every k-th frame into IMAGE rows (image_id, bytes raw, w, h,
+    fmt='raw' + video lineage columns) — the video -> image bridge: the
+    sampled frames feed every image operator unchanged (decode_stats,
+    image_embeddings, transcode-to-dct, resize)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for vid, b, w, h, nf, f in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["n_frames"], pdf["fmt"],
+            ):
+                fr = decode_video(b, w, h, nf, f)
+                for k in range(0, int(nf), every_k):
+                    rows["image_id"].append(f"{vid}_f{k:04d}")
+                    rows["bytes"].append(fr[k].tobytes())
+                    rows["w"].append(int(w))
+                    rows["h"].append(int(h))
+                    rows["fmt"].append("raw")
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(k)
+            yield pd.DataFrame(rows)
+
+    return videos.select(
+        "video_id", "bytes", "w", "h", "n_frames", "fmt"
+    ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def video_stats(videos: DataFrame) -> DataFrame:
+    """Per-clip temporal stats: duration, mean pixel level, and mean motion
+    (mean absolute inter-frame pixel difference — a real temporal feature;
+    0 for a static clip)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in VIDEO_STATS_SCHEMA.fields}
+            for vid, b, w, h, nf, fps, f in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["n_frames"], pdf["fps"], pdf["fmt"],
+            ):
+                fr = decode_video(b, w, h, nf, f).astype(np.float64)
+                motion = (
+                    float(np.mean(np.abs(np.diff(fr, axis=0)))) if nf > 1 else 0.0
+                )
+                rows["video_id"].append(vid)
+                rows["n_frames"].append(int(nf))
+                rows["duration_sec"].append(float(nf) / float(fps))
+                rows["mean_px"].append(float(fr.mean()))
+                rows["mean_motion"].append(motion)
+            yield pd.DataFrame(rows)
+
+    return videos.select(
+        "video_id", "bytes", "w", "h", "n_frames", "fps", "fmt"
+    ).mapInPandas(kernel, VIDEO_STATS_SCHEMA)

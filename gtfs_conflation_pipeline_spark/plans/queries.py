@@ -1248,6 +1248,19 @@ def q_redundant_removal(spark, sf):
     )
 
 
+def q_video_frame_stats(spark, sf):
+    """Video modality: raw-concatenated frame decode -> per-clip temporal
+    stats (duration, mean level, mean inter-frame motion) over the
+    deterministic fixture clip table; the frame_sample bridge into the
+    image operators is tested in tests/test_video.py. Rows-only (binary
+    payload decode is not SQL-expressible)."""
+    from .. import fixtures as FX
+    from ..operators import multimodal
+
+    vids = FX.video_table(spark, 200, partitions=8)
+    return multimodal.video_stats(vids).orderBy("video_id")
+
+
 def q_audio_features(spark, sf):
     """Audio modality: pcm16 decode (real) -> numpy-FFT features (duration,
     RMS, spectral centroid, 16-band L2-normalized energy vector) over the
@@ -1562,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode_stats": q_image_decode_stats,
     "image_transcode_dct": q_image_transcode_dct,
     "audio_features": q_audio_features,
+    "video_frame_stats": q_video_frame_stats,
     "match_scores": q_match_scores,
     "match_paths": q_match_paths,
     "map_cospatiality": q_map_cospatiality,
