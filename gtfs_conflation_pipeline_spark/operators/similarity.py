@@ -325,12 +325,22 @@ def lsh_ann_topk(
     Hamming scan. Semantically identical to filtering all pairs on
     hamming <= probe_hamming (the masks enumerate exactly that ball);
     asserted in tests against the brute-force sibling.
+
+    Scale shape (round-4 fix): the probe explode and the broadcast carry
+    ONLY (qid, sig) — two longs per probe — never the query vector; q_vec
+    attaches to SURVIVING candidates via a second (tiny) broadcast
+    equi-join on qid just before the exact re-rank. The previous version
+    broadcast 79 copies of every query vector (dim-768 doubles -> a
+    multi-GB broadcast at a few hundred k queries for no reason). Pinned
+    by a plan test: no array column below the Generate.
     """
     from itertools import combinations
 
     planes = _hyperplanes(dim, n_planes)
     csig = corpus.withColumn("sig", signature_bits(F.col(c_vec), planes))
-    qsig = queries.withColumn("qsig", signature_bits(F.col(q_vec), planes))
+    qsig = queries.select(
+        q_id, signature_bits(F.col(q_vec), planes).alias("qsig")
+    )
     masks = [0] + [
         sum(1 << b for b in combo)
         for r in range(1, probe_hamming + 1)
@@ -338,11 +348,12 @@ def lsh_ann_topk(
     ]
     qprobes = qsig.select(
         q_id,
-        q_vec,
         F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_mask"),
         "qsig",
-    ).withColumn("sig", F.col("qsig").bitwiseXOR(F.col("_mask")))
-    cands = csig.join(F.broadcast(qprobes), "sig").filter(
-        F.col(q_id) != F.col(c_id)
+    ).select(q_id, F.col("qsig").bitwiseXOR(F.col("_mask")).alias("sig"))
+    cands = (
+        csig.join(F.broadcast(qprobes), "sig")
+        .filter(F.col(q_id) != F.col(c_id))
+        .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
     )
     return _cosine_rerank(cands, q_id, c_id, q_vec, c_vec, k)
