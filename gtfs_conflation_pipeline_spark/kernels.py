@@ -843,6 +843,138 @@ def _corridor_interval(px_, py_, qx, qy, radius_km: float):
     return float(pos[idx[0]]), float(pos[idx[-1]])
 
 
+def remove_redundant_coords(xs, ys):
+    """Drop consecutive duplicate vertices (reference removeRedundantCoords,
+    applied per part in lineMerge, getCospatialityOfLinestrings.js:185)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.size <= 1:
+        return xs, ys
+    keep = np.concatenate(
+        [[True], (np.diff(xs) != 0) | (np.diff(ys) != 0)]
+    )
+    return xs[keep], ys[keep]
+
+
+def line_merge(parts, tolerance_km: float = 0.0):
+    """PostGIS-style ST_LineMerge with optional geospatial tolerance — the
+    reference's standalone MultiLineString stitcher
+    (getCospatialityOfLinestrings.js:169-267 lineMerge).
+
+    `parts` is a list of (xs, ys) coordinate arrays. Semantics mirrored
+    step-for-step:
+      - parts with < 2 coords are dropped; consecutive duplicate coords
+        removed per part (:181-185);
+      - starting from the first part, each subsequent part stitches onto
+        the first accumulated line whose endpoint matches: EXACT
+        coordinate equality end->start / start->end first (:206-216),
+        then, when `tolerance_km` > 0, endpoint distance <= tolerance
+        (:218-231) — NOTE the reference's tolerance branch builds
+        `otherStartPt`/`otherEndPt` from the CURRENT part's own endpoints
+        (:219-220), so as written it compares curStart to curEnd; this
+        kernel implements the documented intent (cur start vs other END,
+        cur end vs other START), which is what the bug-free exact branch
+        encodes at tolerance 0;
+      - unmatched parts start new lines (:234);
+      - output is sorted by length ascending, and with tolerance > 0 a
+        line is dropped when ANY of its vertices lies within tolerance of
+        a LONGER line (:241-260 subsumption filter).
+
+    Returns the merged list of (xs, ys) arrays."""
+    cleaned = []
+    for xs, ys in parts:
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        if xs.size <= 1:
+            continue
+        xs, ys = remove_redundant_coords(xs, ys)
+        if xs.size > 1:
+            cleaned.append((xs, ys))
+    if not cleaned:
+        return []
+    acc = [list(map(np.array, cleaned[0]))]
+    for xs, ys in cleaned[1:]:
+        placed = False
+        for line in acc:
+            oxs, oys = line
+            if xs[0] == oxs[-1] and ys[0] == oys[-1]:  # cur start == other end
+                line[0] = np.concatenate([oxs, xs[1:]])
+                line[1] = np.concatenate([oys, ys[1:]])
+                placed = True
+                break
+            if xs[-1] == oxs[0] and ys[-1] == oys[0]:  # cur end == other start
+                line[0] = np.concatenate([xs[:-1], oxs])
+                line[1] = np.concatenate([ys[:-1], oys])
+                placed = True
+                break
+            if tolerance_km:
+                if haversine_km(xs[0], ys[0], oxs[-1], oys[-1]) <= tolerance_km:
+                    line[0] = np.concatenate([oxs, xs[1:]])
+                    line[1] = np.concatenate([oys, ys[1:]])
+                    placed = True
+                    break
+                if haversine_km(xs[-1], ys[-1], oxs[0], oys[0]) <= tolerance_km:
+                    line[0] = np.concatenate([xs[:-1], oxs])
+                    line[1] = np.concatenate([ys[:-1], oys])
+                    placed = True
+                    break
+        if not placed:
+            acc.append([np.array(xs), np.array(ys)])
+    merged = sorted(
+        ((xs, ys) for xs, ys in acc),
+        key=lambda p: polyline_length_km(p[0], p[1]),
+    )
+    if tolerance_km == 0:
+        return merged
+    kept = []
+    for i, (xs, ys) in enumerate(merged):
+        subsumed = False
+        for j in range(i + 1, len(merged)):
+            oxs, oys = merged[j]
+            _, _, _, dev, _, _ = snap_points_to_polyline(xs, ys, oxs, oys)
+            if np.any(dev <= tolerance_km):
+                subsumed = True
+                break
+        if not subsumed:
+            kept.append((xs, ys))
+    return kept
+
+
+def cospatiality_two_sided_multi(
+    a_parts,
+    b_parts,
+    radius_km: float = 0.005,
+    tolerance_km: float = None,
+):
+    """Two-sided cospatiality for MULTI-part inputs: each side is stitched
+    with `line_merge` at the 2 m tolerance and short merged parts dropped
+    (the reference's geometryToGeoJson MultiLineString path,
+    getCospatialityOfLinestrings.js:287-305), then cospatiality is
+    evaluated pairwise between the surviving parts and the max-overlap
+    pair's intervals are returned (None when no pair is cospatial)."""
+    if tolerance_km is None:
+        tolerance_km = SHORT_SEG_CUTOFF_KM
+    ma = [
+        p
+        for p in line_merge(a_parts, tolerance_km)
+        if polyline_length_km(p[0], p[1]) > tolerance_km
+    ]
+    mb = [
+        p
+        for p in line_merge(b_parts, tolerance_km)
+        if polyline_length_km(p[0], p[1]) > tolerance_km
+    ]
+    best = None
+    for axs, ays in ma:
+        for bxs, bys in mb:
+            c = cospatiality_two_sided(axs, ays, bxs, bys, radius_km)
+            if c is not None and (
+                best is None or c["intxn_a_km"] > best["intxn_a_km"]
+            ):
+                best = c
+    return best
+
+
 def cospatiality_two_sided(ax, ay, bx, by, radius_km: float = 0.005):
     """Two-sided cospatiality: the A and B overlap intervals come from
     INDEPENDENT projections (reference getCospatialityOfLinestrings.js:

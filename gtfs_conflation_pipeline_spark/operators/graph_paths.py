@@ -260,6 +260,84 @@ def union_paths(paths: list[Path], max_rounds: int = 8) -> list[Path]:
     return keep
 
 
+MAX_OVERLAP_THLD_KM = 0.002  # findNonAxiomaticPaths.js:10 (2 meters)
+EXACT_COMBO_MAX_N = 15  # full 2^n enumeration up to here; capped above
+
+
+def exact_combo_select(paths: list[Path]) -> list[Path]:
+    """Reference-exact non-axiomatic path-combination choice
+    (findNonAxiomaticPaths.js:64-242): enumerate the satisfiable
+    include/exclude combos under pairwise-overlap constraints and keep the
+    max-total-length combo.
+
+    Combo construction (the reference's fork-and-constrain reduce,
+    :95-216): paths are visited in order; a path overlapping (> 2 m,
+    max of the two per-line overlap extents) any EARLIER path is included
+    in a combo iff every such constrainer is excluded there; a path that
+    instead overlaps only LATER paths forks every combo into
+    include/exclude; an unconstrained path is included everywhere. A path
+    overlapping nothing has a null cospatiality row (:85-89) and is always
+    included. The reference itself flags the O(2^n) cost (:91-93) —
+    callers gate on EXACT_COMBO_MAX_N and fall back to the capped
+    longest-path choice above it."""
+    n = len(paths)
+    if n <= 1:
+        return list(paths)
+    # pairwise overlap extents via the two-sided cospatiality kernel
+    # (getCospatialityOfLinestrings semantics; overlap length is
+    # max(along-S extent, along-T extent), :116-128)
+    ov: list[list[float | None]] = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = K.cospatiality_two_sided(
+                paths[i].xs, paths[i].ys, paths[j].xs, paths[j].ys
+            )
+            if c is not None:
+                ov[i][j] = ov[j][i] = max(c["intxn_a_km"], c["intxn_b_km"])
+    has_overlap = [
+        any(ov[i][j] is not None for j in range(n) if j != i) for i in range(n)
+    ]
+    combos: list[list[int]] = [[]]
+    for i in range(n):
+        constrainers = []
+        if has_overlap[i]:
+            for j in range(i):
+                if not has_overlap[j]:
+                    continue
+                lij = ov[j][i]
+                if lij is not None and lij > MAX_OVERLAP_THLD_KM:
+                    constrainers.append(j)
+        if constrainers:
+            for combo in combos:
+                combo.append(1 if all(combo[k] == 0 for k in constrainers) else 0)
+            continue
+        must_fork = False
+        for j in range(i + 1, n):
+            if not has_overlap[j]:
+                continue
+            lij = ov[j][i]
+            if lij is not None and lij > MAX_OVERLAP_THLD_KM:
+                must_fork = True
+                break
+        if not must_fork:
+            for combo in combos:
+                combo.append(1)
+            continue
+        forks = [list(c) for c in combos]
+        for c in combos:
+            c.append(1)
+        for c in forks:
+            c.append(0)
+        combos.extend(forks)
+    lens = [p.length_km for p in paths]
+    best, best_v = combos[0], float("-inf")
+    for combo in combos:
+        v = sum(ln for inc, ln in zip(combo, lens) if inc)
+        if v > best_v:  # strictly greater: first max wins (:238-241)
+            best_v, best = v, combo
+    return [p for inc, p in zip(best, paths) if inc]
+
+
 def choose_paths_for_segment(
     matches: list[dict], seg_xs, seg_ys
 ) -> list[Path]:
@@ -301,10 +379,15 @@ def choose_paths_for_segment(
         min_len = max(min_len / SQRT2, min_len_floor)
         max_ratio = min(max_ratio * SQRT2, max_ratio_ceil)
         max_gap = min(max_gap * SQRT2, max_gap_ceil)
-    # non-axiomatic fallback after the ladder is exhausted: longest union
-    # path (findNonAxiomaticPaths.js:229-242 max-total-length combo, capped
-    # — the O(2^n) hazard the reference flags at :218-222)
-    return sorted(paths, key=lambda p: (-p.length_km, p.match_ids))[:1]
+    # non-axiomatic fallback after the ladder is exhausted
+    # (findNonAxiomaticPaths.js:64-242): where the reference is tractable
+    # (n <= EXACT_COMBO_MAX_N) run its EXACT 2^n combo enumeration; above
+    # that, the capped longest-path choice (the O(2^n) hazard the reference
+    # itself flags at :218-222 — it has no cap, we bound the blowup)
+    ordered = sorted(paths, key=lambda p: (-p.length_km, p.match_ids))
+    if len(ordered) <= EXACT_COMBO_MAX_N:
+        return exact_combo_select(ordered)
+    return ordered[:1]
 
 
 # ---------------------------------------------------------------------------

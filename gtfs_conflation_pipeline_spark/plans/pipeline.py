@@ -67,9 +67,17 @@ def run_pipeline(
     ckpt_dir: str,
     partitions: int | None = None,
     verbose: bool = False,
+    n_buckets: int = 32,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline over the synthetic image fixture;
-    returns every stage's DataFrame."""
+    returns every stage's DataFrame.
+
+    ``n_buckets`` sizes every bucketed stage table (see run_from_raw): a
+    bucketed SCAN is one task per bucket (buckets never split), so size it
+    to AT LEAST the target read parallelism — the rule of thumb is
+    n_buckets >= executor cores at deployment scale (32 matches local[32];
+    a 1000-executor cluster wants 4-16k). Outputs are identical at any
+    value (asserted in tests at 8 vs 64)."""
     ckpt = CheckpointManager(ckpt_dir, verbose=verbose)
     out: dict[str, DataFrame] = {}
 
@@ -83,6 +91,7 @@ def run_pipeline(
         "osm_segments",
         lambda: FX.osm_segments_table(spark, n_images, partitions=partitions),
         bucket_by=["segment_id"],
+        n_buckets=n_buckets,
     )
     raw = FX.raw_tables(spark, out["images"])
     # checkpoint the relational raw tables (tiny): downstream schedule stages
@@ -90,7 +99,7 @@ def run_pipeline(
     # readable by external engines (the DuckDB stage oracles read these)
     for name in ("trips", "stop_times", "routes", "calendar", "calendar_dates", "feed_info"):
         raw[name] = ckpt.run_stage(spark, f"raw_{name}", lambda n=name: raw[n])
-    out.update(run_from_raw(spark, raw, out["osm_segments"], ckpt))
+    out.update(run_from_raw(spark, raw, out["osm_segments"], ckpt, n_buckets=n_buckets))
     return out
 
 
@@ -100,6 +109,7 @@ def run_from_raw(
     osm_segments: DataFrame,
     ckpt: CheckpointManager,
     upto: str | None = None,
+    n_buckets: int = 32,
 ) -> dict[str, DataFrame]:
     """Stages 2-9 over ANY raw GTFS tables + OSM segment table — the entry
     point a user of the reference CLI migrates to (cli.py wraps this).
@@ -152,6 +162,7 @@ def run_from_raw(
         metrics_fn=_net_metrics,
         rows_in_from="geo_shapes",
         bucket_by=["shape_id"],
+        n_buckets=n_buckets,
         sort_by=["shape_id", "shape_index"],
     )
     if done("net_segments"):
@@ -171,6 +182,7 @@ def run_from_raw(
         _refined,
         rows_in_from="net_segments",
         bucket_by=["shape_id"],
+        n_buckets=n_buckets,
         sort_by=["shape_id", "shape_index"],
     )
 
@@ -193,6 +205,7 @@ def run_from_raw(
         },
         rows_in_from="refined",
         bucket_by=["shape_id"],
+        n_buckets=n_buckets,
         sort_by=["shape_id", "shape_index"],
     )
 
@@ -266,6 +279,7 @@ def run_from_raw(
         ),
         metrics_fn=_traffic_metrics,
         bucket_by=["shape_id"],
+        n_buckets=n_buckets,
     )
     if done("scheduled_traffic"):
         return out
@@ -277,6 +291,7 @@ def run_from_raw(
         # segment_id leads every downstream traffic grouping key, so the
         # traffic_by_route aggregation consumes the buckets in place
         bucket_by=["segment_id"],
+        n_buckets=n_buckets,
     )
     out["traffic_by_route"] = ckpt.run_stage(
         spark,

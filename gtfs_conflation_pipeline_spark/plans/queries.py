@@ -1071,19 +1071,85 @@ def q_tile_assignments(spark, sf):
 
 
 def q_minhash_lsh(spark, sf):
+    """MinHash-LSH verified near-dup pairs, DuckDB-oracled (round 4): the
+    engine-specific part — 32-perm MinHash signatures banded with F.hash —
+    is checkpointed as the (doc, band, bucket) table; the oracle
+    independently re-derives the candidate equi-join AND the exact-Jaccard
+    verification (distinct word-3-gram shingles, the proven ngram_jaccard
+    SQL) from that table in ANSI SQL."""
+    banded = _sig_ckpt(
+        dedup.minhash_banded(_docs_with_dups(spark, sf), "doc_id", "text"),
+        "minhash_bands",
+    )
     return dedup.minhash_lsh_pairs(
-        _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5
+        _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5, banded=banded
     ).orderBy("id_a", "id_b")
 
 
+SQL_MINHASH_LSH = f"""
+WITH banded AS (SELECT * FROM {_sig_pq('minhash_bands')}),
+cands AS (
+  SELECT DISTINCT x.doc AS id_a, y.doc AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc),
+docs AS (SELECT * FROM {_DOCS_DUP_SQL} d),
+sh_str AS (
+  SELECT DISTINCT doc_id AS doc, sh FROM (
+    SELECT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t,
+         unnest(generate_series(1, greatest(len(w) - 2, 1))) AS g(i)
+    WHERE i + 2 <= len(w)) s
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh_str GROUP BY doc),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cands c
+  JOIN sh_str a ON a.doc = c.id_a
+  JOIN sh_str b ON b.doc = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_clusters(spark, sf):
-    """Near-dup clusters from MinHash-LSH pairs (min-label-propagation
-    connected components; iterative => rows-only, union-find-oracled in
-    pytest). Output: (doc_id, cluster) for every doc in a dup cluster."""
-    pairs = dedup.minhash_lsh_pairs(
-        _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5
+    """Near-dup clusters from MinHash-LSH pairs, DuckDB-oracled (round 4):
+    the verified pair table is checkpointed and the engine's iterative
+    min-label-propagation + pointer-jumping components are independently
+    re-derived by a DuckDB RECURSIVE CTE reachability closure over the
+    same pairs (cluster = min doc id reaching each node). The union-find
+    pytest oracle (tests/test_dedup_recall.py) remains the adversarial
+    gate for chains/convergence."""
+    pairs = _sig_ckpt(
+        dedup.minhash_lsh_pairs(
+            _docs_with_dups(spark, sf), "doc_id", "text", threshold=0.5
+        ),
+        "cluster_pairs",
     )
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM {_sig_pq('cluster_pairs')}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.node = e.a
+)
+SELECT node AS doc_id, min(r) AS cluster
+FROM reach GROUP BY node ORDER BY doc_id
+"""
 
 
 def q_simhash_pairs(spark, sf):
@@ -1239,29 +1305,87 @@ ORDER BY id_a, id_b
 
 
 def q_embedding_neardup_lsh(spark, sf):
-    """Scale path of q_embedding_neardup: sign-LSH bucketed multi-probe
-    self-join over the FULL embeddings table (+constructed dups), exact
-    cosine verify. Recall vs the exact sibling asserted in pytest."""
+    """Scale path of q_embedding_neardup: sign-LSH pigeonhole self-join
+    over the FULL embeddings table (+constructed dups), exact cosine
+    verify. DuckDB-oracled (round 4): the 12-plane signatures are
+    checkpointed; the oracle re-derives the IDENTICAL result brute-force —
+    candidates = all pairs with signature Hamming <= 3 (the pigeonhole
+    chunk join finds exactly that set), same exact-cosine verify and
+    rounding. Recall vs the exact sibling additionally asserted in
+    pytest."""
     emb = _emb_with_dups(spark, sf, limit=1 << 40)
+    planes = similarity._hyperplanes(64, 12)
+    _sig_ckpt(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            similarity.signature_bits(F.col("embedding"), planes).alias("sig"),
+        ),
+        "emb_nd_sig",
+    )
     return similarity.embedding_near_dups(emb, dim=64, threshold=0.9).orderBy(
         "id_a", "id_b"
     )
 
 
+SQL_EMBEDDING_NEARDUP_LSH = f"""
+WITH sig AS (SELECT * FROM {_sig_pq('emb_nd_sig')}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dup AS (SELECT vec_id + 100000 AS vec_id, list_prepend(e[1] + 0.01, e[2:]) AS e
+        FROM base WHERE vec_id < 50),
+emb AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b
+    ON a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_sum(list_transform(list_zip(ea.e, eb.e), z -> z[1] * z[2])) /
+               (sqrt(list_sum(list_transform(ea.e, x -> x * x))) *
+                sqrt(list_sum(list_transform(eb.e, x -> x * x)))), 4) AS cosine
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.id_a
+  JOIN emb eb ON eb.vec_id = c.id_b)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.9 ORDER BY id_a, id_b
+"""
+
+
 def q_image_embed_topk(spark, sf):
     """Image -> histogram embedding -> cosine top-3 (decode + feature
-    extraction feeding the similarity operators; the multimodal bridge)."""
+    extraction feeding the similarity operators; the multimodal bridge).
+    DuckDB-oracled (round 4): the decoded 48-dim embeddings (the
+    non-SQL-expressible step) are checkpointed; the oracle independently
+    re-derives the brute-force cosine rerank + top-3 in ANSI SQL."""
     from ..operators import multimodal
     from .. import fixtures as FX
 
     img = FX.images_table(spark, 500, partitions=8)
-    emb = multimodal.image_embeddings(img)
+    emb = _sig_ckpt(multimodal.image_embeddings(img), "image_emb")
     q = emb.orderBy("image_id").limit(10).select(
         F.col("image_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return similarity.cosine_topk(
         q, emb, k=3, q_id="qid", c_id="image_id", c_vec="embedding"
     ).orderBy("qid", "rank")
+
+
+SQL_IMAGE_EMBED_TOPK = f"""
+WITH emb AS (SELECT image_id, embedding::DOUBLE[] AS e FROM {_sig_pq('image_emb')}),
+q AS (SELECT image_id AS qid, e AS qe FROM emb ORDER BY image_id LIMIT 10),
+pairs AS (
+  SELECT qid, image_id,
+         list_sum(list_transform(list_zip(qe, e), z -> z[1] * z[2])) /
+         (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+          sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+  FROM q CROSS JOIN emb WHERE image_id != qid
+)
+SELECT qid, image_id, cosine, rank FROM (
+  SELECT qid, image_id, round(cos, 4) AS cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cos, 4) DESC, image_id) AS rank
+  FROM pairs) t
+WHERE rank <= 3 ORDER BY qid, rank
+"""
 
 
 def q_ivf_ann(spark, sf):
@@ -1679,6 +1803,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
     "lsh_ann": q_lsh_ann,
+    "minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "image_embed_topk": q_image_embed_topk,
     # schedule stages (oracled against their direct-input stage checkpoints;
     # the Spark query materializes them before the oracle runs — per-query
     # spark-then-oracle ordering, so position in the dict is irrelevant)
@@ -1688,21 +1816,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_by_route": q_traffic_by_route,
     "aadt_breakdown": q_aadt_breakdown,
     "traffic_overall": q_traffic_overall,
-    # --- rows-only (non-SQL-expressible: geometry kernels / iterative /
-    # multimodal decode), highest-value first — these fill the remaining
-    # driver slots up to position 49 ---
+    # --- rows-only: the flagship conflation join (pytest-oracled bit-exact
+    # vs the pure-numpy oracle, tests/test_pipeline_e2e.py) fills slot 49 ---
     "conflation_matches": q_conflation_matches,
+    # --- past the driver's 50-entry window (pytest coverage only: every
+    # entry below has either a bit-exact e2e oracle, a brute-force parity
+    # test, or a determinism gate — see COVERAGE.md) ---
     "tile_assignments": q_tile_assignments,
     "match_paths": q_match_paths,
     "match_scores": q_match_scores,
     "map_cospatiality": q_map_cospatiality,
-    # --- past the driver's 50-entry window (pytest coverage only) ---
     "redundant_removal": q_redundant_removal,
-    "minhash_lsh": q_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
     "ivf_ann": q_ivf_ann,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "image_embed_topk": q_image_embed_topk,
     "image_decode_stats": q_image_decode_stats,
     "image_transcode_dct": q_image_transcode_dct,
     "audio_features": q_audio_features,
@@ -1751,6 +1876,13 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "phash_neardup": SQL_PHASH_NEARDUP,
     "lsh_ann": SQL_LSH_ANN,
+    "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
+    # LSH-band candidates + exact-Jaccard verify re-derived in SQL from the
+    # checkpointed band table; clusters via RECURSIVE CTE reachability
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    # decoded image embeddings checkpointed; rerank re-derived in SQL
+    "image_embed_topk": SQL_IMAGE_EMBED_TOPK,
     # schedule stages, each verified against ANSI SQL over its direct-input
     # stage checkpoints (run the Spark query first — it materializes them)
     "service_dates": SQL_SERVICE_DATES,

@@ -33,11 +33,24 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy < 2 has no bitwise_count): view
+    each uint64 as 8 bytes, unpack to bits, sum. Allocation-bounded by the
+    4096-doc state cap x batch size."""
+    u8 = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return (
+        np.unpackbits(u8.reshape(*x.shape, 8), axis=-1)
+        .sum(axis=-1, dtype=np.int64)
+        .reshape(x.shape)
+    )
 
 PAIRS_SCHEMA = T.StructType(
     [
@@ -112,20 +125,44 @@ def streaming_hamming_pairs(
             ids, hs = list(ids), list(hs)
         else:
             ids, hs, n_dropped = [], [], 0
+        # Vectorized in-bucket scan (round-3 VERDICT item 8; the old version
+        # was a Python pair loop). Semantics preserved exactly: new doc k
+        # (sorted order) pairs against the prior state PLUS the new docs
+        # admitted before it; only the first `cap_n` new docs fit the state
+        # cap, the rest still pair against state but overflow (counted).
+        m, n = len(ids), len(new)
+        cap_n = max(0, min(n, max_docs_per_bucket - m))
+        dropped_now = n - cap_n
         rows = []
-        dropped_now = 0
-        for i, h in new:
-            for j, g in zip(ids, hs):
-                if i == j:
-                    continue
-                d = bin((h ^ g) & ((1 << n_bits) - 1)).count("1")
-                if d <= max_hamming:
-                    rows.append((min(i, j), max(i, j), d, 0))
-            if len(ids) < max_docs_per_bucket:
-                ids.append(i)
-                hs.append(h)
-            else:
-                dropped_now += 1
+        if n and (m or cap_n):
+            n_ids = np.array([i for i, _ in new], dtype=np.int64)
+            n_hs = np.array([h for _, h in new], dtype=np.uint64)
+            t_ids = np.concatenate(
+                [np.array(ids, dtype=np.int64), n_ids[:cap_n]]
+            )
+            t_hs = np.concatenate(
+                [np.array(hs, dtype=np.int64).view(np.uint64), n_hs[:cap_n]]
+            )
+            mask_bits = np.uint64((1 << n_bits) - 1)
+            d_mat = _popcount64((n_hs[:, None] ^ t_hs[None, :]) & mask_bits)
+            visible = np.arange(m + cap_n)[None, :] < (
+                m + np.minimum(np.arange(n), cap_n)[:, None]
+            )
+            ok = visible & (d_mat <= max_hamming) & (n_ids[:, None] != t_ids[None, :])
+            ks, ts = np.nonzero(ok)  # row-major == the scalar emission order
+            ia, ib = n_ids[ks], t_ids[ts]
+            rows = list(
+                zip(
+                    np.minimum(ia, ib).tolist(),
+                    np.maximum(ia, ib).tolist(),
+                    d_mat[ks, ts].tolist(),
+                    [0] * ks.size,
+                )
+            )
+            ids.extend(n_ids[:cap_n].tolist())
+            hs.extend(n_hs[:cap_n].view(np.int64).tolist())
+        elif n:  # state full on arrival and nothing admitted: all overflow
+            pass
         if dropped_now:
             rows.append((-1, -1, 0, dropped_now))
         state.update((ids, hs, int(n_dropped) + dropped_now))

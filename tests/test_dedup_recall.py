@@ -267,6 +267,26 @@ def test_ngram_auto_df_cut_engages_and_reports(spark):
     assert n_pairs2 <= n_pairs
 
 
+def test_df_cut_construction_launches_no_jobs(spark):
+    """Laziness contract (round-3 VERDICT item 7): building the pairs
+    DataFrame with a df-cut must launch ZERO Spark jobs; the dropped-shingle
+    metric resolves on first LAST_METRICS read (cache-hit after the caller's
+    own action)."""
+    rows = [(i, "common common common " + f"u{i} v{i} w{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("dfcut_construct", "construction must launch no jobs")
+    out = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.05, max_shingle_freq=10
+    )
+    jobs = sc.statusTracker().getJobIdsForGroup("dfcut_construct")
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], "df-cut construction ran eager Spark jobs"
+    out.count()
+    m = dedup.LAST_METRICS["ngram_jaccard"]
+    assert m["dropped_shingles"] >= 1  # the ubiquitous shingle was dropped
+
+
 def _union_find_oracle(pairs):
     parent = {}
 
