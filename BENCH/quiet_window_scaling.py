@@ -5,7 +5,7 @@ attempt; stop as soon as an attempt clears the 0.8 north-rule bar.
 
 The box's spare capacity swings 2-30 cores minute to minute (BASELINE.md
 methodology); launching attempts blind wastes 10-minute runs on windows
-where the机 hardware itself cannot parallelize. This wrapper spends seconds
+where the hardware itself cannot parallelize. This wrapper spends seconds
 probing instead, and only pays for a full attempt when the machine can.
 """
 
@@ -25,7 +25,9 @@ TARGET = float(os.environ.get("SCALE_TARGET", "0.8"))
 MAX_MINUTES = float(os.environ.get("SCALE_MAX_MINUTES", "50"))
 POLL_SEC = int(os.environ.get("SCALE_POLL_SEC", "60"))
 MIN_CEILING = float(os.environ.get("SCALE_MIN_CEILING", "3.0"))
-OUT = os.path.join(REPO, "BENCH", "scaling_result_r3.json")
+OUT = os.path.join(
+    REPO, "BENCH", os.environ.get("SCALE_OUT", "scaling_result_r4.json")
+)
 
 
 def _probe_work(n):

@@ -4,24 +4,35 @@ entry(spark)   — flagship conflation join + tile assignment on the
                  deterministic synthetic fixture (sf0.001-scale).
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops); each callable: (spark, sf_dir) -> DataFrame.
-oracle_sql()   — matching ANSI SQL for DuckDB: the pre-registered testdata
-                 views for the relational queries, and (for the schedule
-                 stages service_dates / scheduled_traffic / probe_data /
-                 traffic_by_route / aadt_breakdown) read_parquet over each
-                 stage's direct-input checkpoints — run the Spark query
-                 first; it materializes them. Entries absent here
-                 (conflation_matches, tile_assignments, match_paths,
-                 map_cospatiality, match_scores, redundant_removal,
-                 minhash_lsh, simhash_pairs, phash_neardup, lsh_ann,
-                 ivf_ann, image_decode_stats) are non-SQL-expressible
-                 (geometry kernels / iterative or order-dependent greedy
-                 logic / LSH / binary payload decode) and take the
-                 rows-only check; the geometry ones are instead verified
-                 exactly against a pure-numpy oracle in
+oracle_sql()   — matching ANSI SQL for DuckDB (50 of 60 entries): the
+                 pre-registered testdata views for the relational queries;
+                 read_parquet over each stage's direct-input checkpoints
+                 for the schedule stages (service_dates / scheduled_traffic
+                 / probe_data / traffic_by_route / aadt_breakdown); and,
+                 for the LSH/ANN/dedup family (simhash_pairs,
+                 phash_neardup, lsh_ann, ivf_ann, minhash_lsh,
+                 dedup_clusters, embedding_neardup_lsh, image_embed_topk),
+                 read_parquet over a checkpointed signature/assignment/
+                 pair table — the engine-specific step SQL cannot
+                 reproduce — with everything downstream (candidate joins,
+                 Hamming brute force, exact-Jaccard/cosine verify,
+                 RECURSIVE-CTE components, top-k rerank) independently
+                 re-derived in SQL. In all checkpoint-backed cases the
+                 Spark query runs first and materializes the inputs.
+                 Entries absent here (conflation_matches,
+                 tile_assignments, match_paths, map_cospatiality,
+                 match_scores, redundant_removal, image_decode_stats,
+                 image_transcode_dct, audio_features, video_frame_stats)
+                 are non-SQL-expressible (geometry kernels / greedy
+                 order-dependent logic / binary payload decode) and take
+                 the rows-only check; the geometry ones are instead
+                 verified exactly against a pure-numpy oracle in
                  tests/test_pipeline_e2e.py, the greedy coord-subset
                  pruning against exhaustive fixtures in
-                 tests/test_redundant_matches.py, and the LSH family
-                 against brute-force siblings in tests/test_dedup_recall.py.
+                 tests/test_redundant_matches.py, and the multimodal
+                 decoders against ground-truth/determinism gates in
+                 tests/test_audio.py / test_video.py /
+                 test_stateful_and_psnr.py.
 """
 
 from __future__ import annotations

@@ -85,9 +85,12 @@ def run_flagship(spark, n_images: int, work_dir: str) -> dict:
     )
 
     # min-of-2: the sandbox has co-tenant CPU noise; the second run also
-    # amortizes one-time session costs (python worker spawn, codegen JIT)
-    best = None
-    for _ in range(2):
+    # amortizes one-time session costs (python worker spawn, codegen JIT).
+    # The FIRST iteration is additionally reported as the cold-start number
+    # (sec_total_cold) so both methodologies stay comparable across rounds
+    # (BENCH/BASELINE.md §5).
+    best = cold = None
+    for it in range(2):
         t0 = time.time()
         matches = spatial_join.conflation_join(net, osm).persist()
         n_matches = matches.count()
@@ -98,6 +101,8 @@ def run_flagship(spark, n_images: int, work_dir: str) -> dict:
         n_tiles = tl.count()
         t_tiles = time.time() - t1
         matches.unpersist()
+        if it == 0:
+            cold = t_match + t_tiles
         if best is None or t_match + t_tiles < best[0] + best[1]:
             best = (t_match, t_tiles)
     t_match, t_tiles = best
@@ -111,6 +116,7 @@ def run_flagship(spark, n_images: int, work_dir: str) -> dict:
         "sec_match": round(t_match, 2),
         "sec_tiles": round(t_tiles, 2),
         "sec_total": round(wall, 2),
+        "sec_total_cold": round(cold, 2),
         "rows_per_sec": round(n_images / wall, 1),
     }
 
@@ -167,12 +173,15 @@ def main() -> None:
     spark.range(1 << 22).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     q_times: dict[str, float] = {}
+    q_cold: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for it in range(2):
             t0 = time.time()
             QUERIES[name](spark, SF_DIR).count()
             dt = time.time() - t0
+            if it == 0:
+                q_cold[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         q_times[name] = round(best, 3)
 
@@ -187,6 +196,7 @@ def main() -> None:
         "value": flag["rows_per_sec"],
         "unit": "rows/sec",
         "queries": q_times,
+        "queries_cold": q_cold,
         "sf": sf_of(SF_DIR),
         "flagship": flag,
         "total_query_sec": round(sum(q_times.values()), 2),

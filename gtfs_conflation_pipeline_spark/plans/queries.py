@@ -1389,16 +1389,58 @@ WHERE rank <= 3 ORDER BY qid, rank
 
 
 def q_ivf_ann(spark, sf):
-    """IVF-bucketed ANN (coarse-quantizer variant of lsh_ann)."""
+    """IVF-bucketed ANN (coarse-quantizer variant of lsh_ann). DuckDB-oracled
+    (round 4): the numpy-BLAS coarse-quantizer ASSIGNMENTS (corpus nprobe=1,
+    queries nprobe=4 — the only non-SQL step) are checkpointed; the oracle
+    independently re-derives the bucket join, candidate dedup, exact-cosine
+    rerank and top-3 in ANSI SQL."""
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    cents = similarity.deterministic_centroids(emb, 16)
+    _sig_ckpt(
+        similarity.ivf_assignments(emb, cents, nprobe=1).select(
+            "vec_id", "centroid_id"
+        ),
+        "ivf_corpus",
+    )
+    _sig_ckpt(
+        similarity.ivf_assignments(q, cents, vec_col="qvec", nprobe=4).select(
+            "qid", "centroid_id"
+        ),
+        "ivf_queries",
+    )
     return similarity.ivf_ann_topk(q, emb, n_centroids=16, nprobe=4, k=3).orderBy(
         "qid", "rank"
     )
+
+
+SQL_IVF_ANN = f"""
+WITH ca AS (SELECT * FROM {_sig_pq('ivf_corpus')}),
+qa AS (SELECT * FROM {_sig_pq('ivf_queries')}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cand AS (
+  SELECT DISTINCT qa.qid, ca.vec_id
+  FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id
+  WHERE ca.vec_id != qa.qid),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         round(list_sum(list_transform(list_zip(eq.e, ec.e), z -> z[1] * z[2])) /
+               (sqrt(list_sum(list_transform(eq.e, x -> x * x))) *
+                sqrt(list_sum(list_transform(ec.e, x -> x * x)))), 4) AS cosine
+  FROM cand c
+  JOIN emb eq ON eq.vec_id = c.qid
+  JOIN emb ec ON ec.vec_id = c.vec_id)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 3 ORDER BY qid, rank
+"""
 
 
 def q_match_scores(spark, sf):
@@ -1883,6 +1925,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # decoded image embeddings checkpointed; rerank re-derived in SQL
     "image_embed_topk": SQL_IMAGE_EMBED_TOPK,
+    # IVF assignments checkpointed; bucket join + rerank re-derived in SQL
+    # (past the driver's 50-entry window, verified by the pytest gate)
+    "ivf_ann": SQL_IVF_ANN,
     # schedule stages, each verified against ANSI SQL over its direct-input
     # stage checkpoints (run the Spark query first — it materializes them)
     "service_dates": SQL_SERVICE_DATES,
