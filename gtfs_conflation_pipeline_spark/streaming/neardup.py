@@ -102,19 +102,35 @@ def streaming_hamming_pairs(
     n_bits: int,
     max_hamming: int,
     max_docs_per_bucket: int = 4096,
+    state_ttl_sec: int | None = None,
 ) -> DataFrame:
     """Stateful streaming near-dup pairs over a (id, hash) stream. Returns
     a streaming DataFrame of PAIRS_SCHEMA rows: real pairs carry
     dropped == 0; cap-overflow metric rows carry id_a == id_b == -1 and
-    the per-batch overflow count (see module docstring)."""
+    the per-batch overflow count (see module docstring).
+
+    `state_ttl_sec` bounds state LIFETIME as well as size: with a TTL set,
+    a bucket that receives no new docs for that long is evicted (processing
+    -time timeout, reset on every update) — the knob an unbounded 100-TB
+    stream needs so key cardinality cannot grow state forever. Eviction
+    trades recall for memory across quiet periods (a pair spanning more
+    than the TTL is missed), exactly like the cap trades recall within hot
+    buckets; both are explicit, never silent defaults."""
     exploded = chunk_exploded(stream, id_col, hash_col, n_bits, max_hamming)
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:  # pragma: no cover - no timeout configured
-            state.remove()
-            yield pd.DataFrame(columns=[f.name for f in PAIRS_SCHEMA.fields])
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: quiet bucket's state released
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int32"),
+                    "dropped": pd.Series(dtype="int32"),
+                }
+            )
             return
         new: list[tuple[int, int]] = []
         for pdf in pdfs:
@@ -166,14 +182,21 @@ def streaming_hamming_pairs(
         if dropped_now:
             rows.append((-1, -1, 0, dropped_now))
         state.update((ids, hs, int(n_dropped) + dropped_now))
+        if state_ttl_sec is not None:
+            state.setTimeoutDuration(state_ttl_sec * 1000)
         yield pd.DataFrame(
             rows, columns=[f.name for f in PAIRS_SCHEMA.fields]
         ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int32", "dropped": "int32"})
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_sec is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return exploded.groupBy("chunk_idx", "chunk").applyInPandasWithState(
         fn,
         PAIRS_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout_conf,
     )

@@ -105,6 +105,21 @@ def test_annealing_relaxes_until_choice():
     assert len(paths) == 1
 
 
+def test_exhausted_ladder_runs_exact_combo_branch():
+    """When every path fails the annealed axioms even at the relaxed bounds
+    (all candidates start ~4 km from the segment start, gap >> 0.1 km
+    ceiling), the chooser must run the reference's EXACT non-axiomatic
+    combo enumeration (findNonAxiomaticPaths.js): of two mutually
+    overlapping far paths keep the longer, plus the disjoint one — NOT the
+    single-longest-path cap (which would return one path)."""
+    a = match(1, -73.95, -73.94)  # ~0.83 km
+    b = match(2, -73.945, -73.93)  # ~1.24 km, overlaps a by ~0.4 km
+    c = match(3, -73.90, -73.895)  # ~0.41 km, disjoint
+    paths = G.choose_paths_for_segment([a, b, c], SEG_XS, SEG_YS)
+    ids = sorted(mid for p in paths for mid in p.match_ids)
+    assert ids == [2, 3]
+
+
 def test_agrees_with_greedy_on_fixture_candidates(spark, tmp_path):
     """On the deterministic fixture the full Pass-B chooser selects the same
     shst_references per segment as the engine's greedy interval cover."""

@@ -202,3 +202,105 @@ def test_streaming_hamming_cap_overflow_is_counted(spark, tmp_path):
     # identical hashes pair within every chunk bucket; cap rows counted
     assert got[got.id_a == -1].dropped.sum() == 6 * 2  # 2 chunks x 6 overflow
     assert (got[got.id_a >= 0].hamming == 0).all()
+
+
+def test_streaming_hamming_ttl_equivalent_when_not_expired(spark, tmp_path):
+    """A generous state TTL (1 h) must not change results: the TTL code
+    path (ProcessingTimeTimeout + setTimeoutDuration per update) is
+    exercised, eviction never fires within the run."""
+    from gtfs_conflation_pipeline_spark.streaming.neardup import (
+        streaming_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 777), (2, 777), (3, 776)], "id long, h long"
+    )
+    src = str(tmp_path / "ttl_src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_hamming_pairs(
+        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=3600
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_pairs")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ttl_pairs").toPandas()
+    real = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in got[got.id_a >= 0].itertuples(index=False)
+    }
+    assert real == {(1, 2, 0), (1, 3, 1), (2, 3, 1)}
+
+
+def test_streaming_hamming_ttl_evicts_quiet_bucket(spark, tmp_path):
+    """Bounded state LIFETIME: with a 1 s TTL and a 6 s quiet gap between
+    two single-doc micro-batches, the first doc's bucket state is evicted
+    before the near-identical second doc arrives — the cross-gap pair is
+    (by design) missed. Empty triggers fire between batches because
+    processing-time timeouts keep the query scheduling batches."""
+    import time as _t
+
+    from gtfs_conflation_pipeline_spark.streaming.neardup import (
+        streaming_hamming_pairs,
+    )
+
+    src = str(tmp_path / "evict_src")
+    import os as _os
+
+    _os.makedirs(src, exist_ok=True)
+    spark.createDataFrame([(1, 555)], "id long, h long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("id long, h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_hamming_pairs(
+        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=1
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_pairs")
+        .option("checkpointLocation", str(tmp_path / "evict_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    def _input_rows() -> float:
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    def _wait_until(pred, timeout_s=120):
+        t0 = _t.time()
+        while _t.time() - t0 < timeout_s:
+            if pred():
+                return True
+            _t.sleep(0.5)
+        return False
+
+    # NOTE: processAllAvailable() cannot be used here — with processing-time
+    # timeouts pending, the query keeps scheduling (empty) batches forever
+    # and the call never returns. Poll progress counters instead.
+    try:
+        # doc 1 processed (numInputRows counts SOURCE rows, pre-explode)
+        assert _wait_until(lambda: _input_rows() >= 1)
+        _t.sleep(6)  # > TTL: empty timeout-driven batches evict the bucket
+        spark.createDataFrame([(2, 555)], "id long, h long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        assert _wait_until(lambda: _input_rows() >= 2)
+        _t.sleep(2)  # let the sink commit doc 2's (empty) output
+    finally:
+        q.stop()
+    got = spark.table("evict_pairs").toPandas()
+    assert len(got[got.id_a >= 0]) == 0  # pair across the gap was evicted
