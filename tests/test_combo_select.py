@@ -127,11 +127,21 @@ def test_randomized_small_n_equals_reference_port(seed):
 
 def test_fallback_cap_above_exact_n():
     """Above EXACT_COMBO_MAX_N the chooser must not enumerate 2^n combos:
-    choose_paths_for_segment's fallback returns the capped longest path."""
-    paths = [_path(i, 0.1 * i, 0.1 * i + 1.0) for i in range(GP.EXACT_COMBO_MAX_N + 3)]
-    ordered = sorted(paths, key=lambda p: (-p.length_km, p.match_ids))
-    assert len(ordered) > GP.EXACT_COMBO_MAX_N
-    # exact_combo_select itself still works if called, but the segment
-    # chooser's fallback path is the [:1] cap — emulate its gate:
-    out = ordered[:1] if len(ordered) > GP.EXACT_COMBO_MAX_N else None
+    the real segment chooser, fed n > cap mutually-overlapping candidates
+    that all fail the annealed axioms (each starts km from the segment),
+    returns exactly the single capped longest path."""
+    n = GP.EXACT_COMBO_MAX_N + 3
+    seg = _path(0, 0.0, 1.0)  # the GTFS segment itself, near origin
+    cands = [
+        {
+            "match_id": i + 1,
+            "shst_reference": f"r{i+1}",
+            "xs": _path(0, 5.0 + 0.05 * i, 6.0 + 0.1 * i).xs,
+            "ys": np.full(21, 0.0),
+        }
+        for i in range(n)
+    ]
+    out = GP.choose_paths_for_segment(cands, seg.xs, seg.ys)
     assert len(out) == 1
+    # the capped choice is the LONGEST candidate (largest i)
+    assert out[0].match_ids == (n,)
