@@ -38,6 +38,11 @@ HEADLINE = [
     "tile_assign",
     "ngram_jaccard",
     "cosine_topk",
+    # round 4: the two text near-dup signature operators, added after the
+    # expression-reuse fix (minhash 65 s -> ~5 s, simhash 21 s -> ~3 s at
+    # sf0.1) so regressions of that class get caught by the bench
+    "minhash_lsh",
+    "simhash_pairs",
 ]
 
 

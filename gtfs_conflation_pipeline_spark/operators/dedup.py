@@ -236,9 +236,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc, fully JVM-side:
     sig_i = min over shingles of ((a_i * h(sh) + b_i) mod P64), with a fixed
-    deterministic hash family (splitmix-style odd constants)."""
-    sh_hash = F.transform(
-        shingles(F.col(text_col), n), lambda s: word_hash(s)
+    deterministic hash family (splitmix-style odd constants).
+
+    The hashed shingle array is computed ONCE in its own projection and
+    the k permutation folds read it as a named column: Catalyst does NOT
+    share a repeated raw (tokenize -> shingle -> md5-48) subtree between k
+    independent array_min expressions, so the old inline form md5-hashed
+    every shingle k times (measured ~10x total on the sf0.1 documents
+    table, 65 s -> 8 s for the full pairs query). CollapseProject keeps
+    the two projections separate because `_sh` is multi-referenced and
+    non-cheap. The repartition below the text rows lifts the md5 stage to
+    cluster parallelism (document parquet split counts would cap it —
+    single-row-group testdata reads as ONE task)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashed = df.repartition(par).select(
+        F.col(id_col).alias("doc"),
+        F.transform(shingles(F.col(text_col), n), lambda s: word_hash(s)).alias(
+            "_sh"
+        ),
     )
     perms = [
         (2 * i + 1, (i * 0x9E3779B9) % P64) for i in range(1, k + 1)
@@ -246,12 +261,12 @@ def minhash_signatures(
     sig = F.array(
         *[
             F.array_min(
-                F.transform(sh_hash, lambda h: (h * a + b) % F.lit(P64))
+                F.transform(F.col("_sh"), lambda h: (h * a + b) % F.lit(P64))
             ).alias(f"m{i}")
             for i, (a, b) in enumerate(perms)
         ]
     )
-    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    return hashed.select("doc", sig.alias("sig"))
 
 
 def minhash_banded(
@@ -265,9 +280,16 @@ def minhash_banded(
     """(doc, band, bucket) LSH band table: the signature is split into
     `bands` row-groups, each hashed to one bucket id. Exposed standalone so
     callers can materialize it (the DuckDB oracle re-derives the candidate
-    join + exact-Jaccard verify from this table in ANSI SQL)."""
+    join + exact-Jaccard verify from this table in ANSI SQL).
+
+    The `repartition` between the signature projection and the band hashes
+    is LOAD-BEARING for the SELF-JOIN above: without an Exchange the two
+    join sides are independent Project chains and each recomputes the full
+    signature pipeline; with it, ReuseExchange makes both sides read ONE
+    computed copy. The shuffled payload is narrow: (doc, k longs)."""
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n=n, k=k)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sigs = minhash_signatures(df, id_col, text_col, n=n, k=k).repartition(par)
     return sigs.select(
         "doc",
         F.posexplode(
@@ -455,24 +477,58 @@ def simhash48(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     JVM-side.
 
     bit_j(simhash) = majority sign of bit_j over the doc's word hashes.
-    Computed via aggregate over 48 bit-count sums expressed as a single
-    array expression (no Python).
-    """
+    Computed as ONE fold over the word-hash array accumulating a 48-long
+    vote vector (zip_with against the hash's bit array), then one indexed
+    fold packing majority bits into the long. The previous version built 48
+    INDEPENDENT aggregate expressions — Catalyst does not share the hashed
+    word array between them, so every doc was tokenized+md5'd 48 times
+    (measured 9x on the sf0.1 documents table). Values are bit-identical:
+    same votes, same majority rule."""
     wh = F.transform(words(F.col(text_col)), lambda w: word_hash(w))
-    # votes_j = sum over words of bit_j; bit set iff votes*2 > n_words
+    idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    # literal 2^j array: the shift builtins only accept LITERAL shift
+    # amounts, so bit j of h is floor(h / 2^j) % 2 — exact in doubles
+    # (h < 2^48 and the divisor is a power of two, both representable)
+    pows = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)]
+    )
+    votes = F.aggregate(
+        wh,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(pows, lambda p: F.floor(h / p).cast("long") % 2),
+            lambda a, b: a + b,
+        ),
+    )
     n = F.size(wh)
-    def _vote(j: int):
-        def fold(acc, h):
-            return acc + F.shiftright(h, j).bitwiseAND(1)
-
-        return fold
-
-    sim = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        bit_j = (
-            (F.aggregate(wh, F.lit(0).cast("long"), _vote(j)) * 2) > n
-        ).cast("long")
-        sim = sim.bitwiseOR(F.shiftleft(bit_j, j))
+    # pack majority bits: fold j = 0..47 in order carrying a running power
+    # p = 2^j in the accumulator (F.shiftleft only takes literal shift
+    # amounts; integer doubling avoids floating-point pow entirely). The
+    # vote vector and word count ride the accumulator so they are computed
+    # ONCE, not per fold step.
+    sim = F.aggregate(
+        idx,
+        F.struct(
+            F.lit(0).cast("long").alias("sim"),
+            F.lit(1).cast("long").alias("p"),
+            votes.alias("v"),
+            n.alias("n"),
+        ),
+        lambda acc, j: F.struct(
+            (
+                acc["sim"]
+                + ((F.element_at(acc["v"], j.cast("int") + 1) * 2) > acc["n"]).cast(
+                    "long"
+                )
+                * acc["p"]
+            ).alias("sim"),
+            (acc["p"] * 2).alias("p"),
+            acc["v"].alias("v"),
+            acc["n"].alias("n"),
+        ),
+        lambda acc: acc["sim"],
+    )
     return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
 
 
