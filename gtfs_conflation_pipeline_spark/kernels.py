@@ -825,6 +825,19 @@ def cospatiality_intervals(ax, ay, bx, by, radius_km: float = 0.005):
 def _corridor_interval(px_, py_, qx, qy, radius_km: float):
     """Along-P interval of P's (densified) vertices within radius of Q, or
     None. One side of the two-sided cospatiality."""
+    r = _corridor_runs(px_, py_, qx, qy, radius_km)
+    if r is None:
+        return None
+    return r[0][0], r[-1][1]
+
+
+def _corridor_runs(px_, py_, qx, qy, radius_km: float):
+    """ALL maximal within-radius runs of P's densified vertices against Q,
+    as a list of (start_km, end_km) intervals along P (None when none) —
+    the corridor analog of the reference's S ∩ buffer(T) intersection
+    parts: a P that exits the corridor and re-enters produces one run per
+    continuous cospatial section (getCospatialityOfLinestrings.js:357-366
+    sIntxn/tIntxn MultiLineString parts)."""
     px_ = np.asarray(px_, dtype=np.float64)
     py_ = np.asarray(py_, dtype=np.float64)
     qx = np.asarray(qx, dtype=np.float64)
@@ -839,8 +852,10 @@ def _corridor_interval(px_, py_, qx, qy, radius_km: float):
     within = dev <= radius_km
     if not np.any(within):
         return None
-    idx = np.where(within)[0]
-    return float(pos[idx[0]]), float(pos[idx[-1]])
+    w = within.astype(np.int8)
+    starts = np.where(np.diff(np.concatenate([[0], w])) == 1)[0]
+    ends = np.where(np.diff(np.concatenate([w, [0]])) == -1)[0]
+    return [(float(pos[s]), float(pos[e])) for s, e in zip(starts, ends)]
 
 
 def remove_redundant_coords(xs, ys):
@@ -989,7 +1004,19 @@ def cospatiality_two_sided(ax, ay, bx, by, radius_km: float = 0.005):
     Returns None when either line is under the 2 m cutoff
     (getCospatialityOfLinestrings.js:13), either side has no within-radius
     portion, or either interval is under the 1 m intersection predicate
-    (GtfsConflationMapJoinDAO/loaders.js:56)."""
+    (GtfsConflationMapJoinDAO/loaders.js:56).
+
+    The hull fields above are DERIVED (first run start .. last run end);
+    the reference's actual return value is a LIST of cospatialities — one
+    per (S-intersection part, T-intersection part) pair after line-merging
+    each side's buffered intersection, dropping parts <= 2 m, ordering
+    parts by length ascending (lineMerge sorts ascending,
+    getCospatialityOfLinestrings.js:241) and uniqWith-deduping
+    (:370-505) — carried here as `entries`: dicts of
+    a_start_km/a_end_km/b_start_km/b_end_km, possibly [] when every run is
+    short (the reference returns null then; consumers that follow the
+    reference's sum-vs-first asymmetry must read `entries`, not the hull —
+    findNonAxiomaticPaths.js:115-128 vs :175-180)."""
     ax = np.asarray(ax, dtype=np.float64)
     ay = np.asarray(ay, dtype=np.float64)
     bx = np.asarray(bx, dtype=np.float64)
@@ -999,14 +1026,35 @@ def cospatiality_two_sided(ax, ay, bx, by, radius_km: float = 0.005):
         or polyline_length_km(bx, by) < SHORT_SEG_CUTOFF_KM
     ):
         return None
-    a_int = _corridor_interval(ax, ay, bx, by, radius_km)
-    b_int = _corridor_interval(bx, by, ax, ay, radius_km)
-    if a_int is None or b_int is None:
+    a_runs = _corridor_runs(ax, ay, bx, by, radius_km)
+    b_runs = _corridor_runs(bx, by, ax, ay, radius_km)
+    if a_runs is None or b_runs is None:
         return None
-    a_start, a_end = a_int
-    b_start, b_end = b_int
+    a_start, a_end = a_runs[0][0], a_runs[-1][1]
+    b_start, b_end = b_runs[0][0], b_runs[-1][1]
     if a_end - a_start <= 0.001 or b_end - b_start <= 0.001:
         return None
+    # reference part pipeline: drop parts <= 2 m, sort ascending by length,
+    # cross-product entries, uniqWith dedup
+    a_parts = sorted(
+        (r for r in a_runs if r[1] - r[0] > SHORT_SEG_CUTOFF_KM),
+        key=lambda r: r[1] - r[0],
+    )
+    b_parts = sorted(
+        (r for r in b_runs if r[1] - r[0] > SHORT_SEG_CUTOFF_KM),
+        key=lambda r: r[1] - r[0],
+    )
+    entries = []
+    for a_s, a_e in a_parts:
+        for b_s, b_e in b_parts:
+            e = {
+                "a_start_km": a_s,
+                "a_end_km": a_e,
+                "b_start_km": b_s,
+                "b_end_km": b_e,
+            }
+            if e not in entries:  # uniqWith(_.isEqual)
+                entries.append(e)
     return {
         "a_start_km": a_start,
         "a_end_km": a_end,
@@ -1014,6 +1062,7 @@ def cospatiality_two_sided(ax, ay, bx, by, radius_km: float = 0.005):
         "b_end_km": b_end,
         "intxn_a_km": a_end - a_start,
         "intxn_b_km": b_end - b_start,
+        "entries": entries,
     }
 
 

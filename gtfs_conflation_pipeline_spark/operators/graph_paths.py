@@ -271,9 +271,10 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
     max-total-length combo.
 
     Combo construction (the reference's fork-and-constrain reduce,
-    :95-216): paths are visited in order; a path overlapping (> 2 m,
-    max of the two per-line overlap extents) any EARLIER path is included
-    in a combo iff every such constrainer is excluded there; a path that
+    :95-216): paths are visited in order; a path overlapping (> 2 m) any
+    EARLIER path is included in a combo iff every such constrainer is
+    excluded there — overlap measured as max over the two lines of the
+    SUM of cospatiality-entry extents (:115-128); a path that
     instead overlaps only LATER paths forks every combo into
     include/exclude; an unconstrained path is included everywhere. A path
     overlapping nothing has a null cospatiality row (:85-89) and is always
@@ -283,20 +284,38 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
     n = len(paths)
     if n <= 1:
         return list(paths)
-    # pairwise overlap extents via the two-sided cospatiality kernel
-    # (getCospatialityOfLinestrings semantics; overlap length is
-    # max(along-S extent, along-T extent), :116-128)
-    ov: list[list[float | None]] = [[None] * n for _ in range(n)]
+    # pairwise cospatiality ENTRY LISTS via the two-sided kernel (the
+    # reference's getCospatialityOfLinestrings return value: one entry per
+    # (S-part, T-part) intersection pair; null when no pair survives the
+    # 2 m part filter). The two consumers below read them ASYMMETRICALLY,
+    # exactly like the reference: constrainer checks SUM the extents over
+    # all entries per side and take the max of the two sums
+    # (findNonAxiomaticPaths.js:115-128); fork checks read only the FIRST
+    # entry's extents (:175-180).
+    ov: list[list[list | None]] = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
             c = K.cospatiality_two_sided(
                 paths[i].xs, paths[i].ys, paths[j].xs, paths[j].ys
             )
-            if c is not None:
-                ov[i][j] = ov[j][i] = max(c["intxn_a_km"], c["intxn_b_km"])
+            if c is not None and c["entries"]:
+                ov[i][j] = ov[j][i] = c["entries"]
     has_overlap = [
         any(ov[i][j] is not None for j in range(n) if j != i) for i in range(n)
     ]
+
+    def _constrainer_overlap(entries: list) -> float:
+        s_sum = sum(e["a_end_km"] - e["a_start_km"] for e in entries)
+        t_sum = sum(e["b_end_km"] - e["b_start_km"] for e in entries)
+        return max(s_sum, t_sum)
+
+    def _fork_overlap(entries: list) -> float:
+        first = entries[0]
+        return max(
+            first["a_end_km"] - first["a_start_km"],
+            first["b_end_km"] - first["b_start_km"],
+        )
+
     combos: list[list[int]] = [[]]
     for i in range(n):
         constrainers = []
@@ -305,7 +324,7 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
                 if not has_overlap[j]:
                     continue
                 lij = ov[j][i]
-                if lij is not None and lij > MAX_OVERLAP_THLD_KM:
+                if lij is not None and _constrainer_overlap(lij) > MAX_OVERLAP_THLD_KM:
                     constrainers.append(j)
         if constrainers:
             for combo in combos:
@@ -316,7 +335,7 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
             if not has_overlap[j]:
                 continue
             lij = ov[j][i]
-            if lij is not None and lij > MAX_OVERLAP_THLD_KM:
+            if lij is not None and _fork_overlap(lij) > MAX_OVERLAP_THLD_KM:
                 must_fork = True
                 break
         if not must_fork:

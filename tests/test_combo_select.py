@@ -20,6 +20,9 @@ def _path(mid: int, start_km: float, end_km: float, n_pts: int = 21) -> GP.Path:
 
 
 def _overlap_matrix(paths):
+    """Pairwise cospatiality ENTRY LISTS (the reference's `cospatialities`
+    array: one entry per (S-part, T-part) intersection pair; None when the
+    kernel returns null or every part fell to the 2 m filter)."""
     n = len(paths)
     ov = [[None] * n for _ in range(n)]
     for i in range(n):
@@ -27,15 +30,31 @@ def _overlap_matrix(paths):
             c = K.cospatiality_two_sided(
                 paths[i].xs, paths[i].ys, paths[j].xs, paths[j].ys
             )
-            if c is not None:
-                ov[i][j] = ov[j][i] = max(c["intxn_a_km"], c["intxn_b_km"])
+            if c is not None and c["entries"]:
+                ov[i][j] = ov[j][i] = c["entries"]
     return ov
+
+
+def _sum_overlap(entries):
+    """Constrainer-side overlap (findNonAxiomaticPaths.js:115-128): SUM the
+    sIntxn extents over ALL entries, sum the tIntxn extents over ALL
+    entries, take the max of the two sums."""
+    s = sum(e["a_end_km"] - e["a_start_km"] for e in entries)
+    t = sum(e["b_end_km"] - e["b_start_km"] for e in entries)
+    return max(s, t)
+
+
+def _first_overlap(entries):
+    """Fork-side overlap (:175-180): _.first(cospat) only."""
+    e = entries[0]
+    return max(e["a_end_km"] - e["a_start_km"], e["b_end_km"] - e["b_start_km"])
 
 
 def _reference_port(paths, ov):
     """Direct transcription of the reference reduce (:95-216) + the
     strictly-greater max-total-length choice (:229-241), written
-    independently of the engine implementation."""
+    independently of the engine implementation — including the
+    constrainer-sums vs fork-reads-first asymmetry."""
     n = len(paths)
     has = [any(ov[i][j] is not None for j in range(n) if j != i) for i in range(n)]
     acc2 = [[]]
@@ -43,14 +62,14 @@ def _reference_port(paths, ov):
         constrainers = []
         if has[i]:
             for j in range(i):
-                if has[j] and ov[j][i] is not None and ov[j][i] > 0.002:
+                if has[j] and ov[j][i] is not None and _sum_overlap(ov[j][i]) > 0.002:
                     constrainers.append(j)
         if constrainers:
             for combo in acc2:
                 combo.append(1 if all(combo[k] == 0 for k in constrainers) else 0)
             continue
         fork = any(
-            has[j] and ov[j][i] is not None and ov[j][i] > 0.002
+            has[j] and ov[j][i] is not None and _first_overlap(ov[j][i]) > 0.002
             for j in range(i + 1, n)
         )
         if not fork:
@@ -123,6 +142,85 @@ def test_randomized_small_n_equals_reference_port(seed):
     want = sorted(_reference_port(paths, _overlap_matrix(paths)))
     got = sorted(p.match_ids for p in GP.exact_combo_select(paths))
     assert got == want
+
+
+def _weave_path(mid, t_knots_m, y_knots_m, step_m=0.5, t_max=None):
+    """Path along the equator whose lateral offset (meters) follows the
+    piecewise-linear profile (t_knots_m, y_knots_m); vertices every
+    `step_m` meters of along-x distance."""
+    t_max = t_max if t_max is not None else t_knots_m[-1]
+    t = np.arange(0.0, t_max + step_m / 2, step_m)
+    y = np.interp(t, t_knots_m, y_knots_m)
+    return GP.Path((mid,), t / 1000.0 * KM_LON, y / 1000.0 * KM_LON)
+
+
+def test_weaving_pair_has_multi_interval_entries():
+    """One line exits and re-enters the other's 5 m corridor: the kernel
+    must return one cospatiality ENTRY per surviving (A-part, B-part)
+    pair — the reference's intersection-part cross product
+    (getCospatialityOfLinestrings.js:357-366 MultiLineString parts,
+    :298-303 2 m part filter, :241 ascending length order) — with the
+    hull fields as the derived envelope."""
+    a = _weave_path(1, [0, 60], [0, 0])  # straight, 60 m
+    # B: alongside A for ~12 m, out to 24 m lateral, back alongside
+    b = _weave_path(2, [0, 12, 24, 36, 48, 60], [0, 0, 24, 24, 0, 0])
+    c = K.cospatiality_two_sided(a.xs, a.ys, b.xs, b.ys)
+    assert c is not None
+    entries = c["entries"]
+    # two disjoint runs on each side -> 2x2 part pairs
+    assert len(entries) == 4
+    for e in entries:
+        for s, t in (("a_start_km", "a_end_km"), ("b_start_km", "b_end_km")):
+            assert e[t] - e[s] > 0.002  # every part survived the 2 m filter
+    # parts are ordered ascending by length (first entry = shortest pair)
+    a_exts = [e["a_end_km"] - e["a_start_km"] for e in entries]
+    b_exts = [e["b_end_km"] - e["b_start_km"] for e in entries]
+    assert a_exts == sorted(a_exts)
+    assert b_exts[:2] == sorted(b_exts[:2])
+    # hull == envelope of the entry intervals
+    assert c["a_start_km"] == min(e["a_start_km"] for e in entries)
+    assert c["a_end_km"] == max(e["a_end_km"] for e in entries)
+    assert c["b_start_km"] == min(e["b_start_km"] for e in entries)
+    assert c["b_end_km"] == max(e["b_end_km"] for e in entries)
+    # the constrainer SUM (double-counting the cross product, exactly like
+    # findNonAxiomaticPaths.js:115-128) strictly exceeds the fork check's
+    # first-entry extent — the asymmetry is observable on this fixture
+    assert _sum_overlap(entries) > _first_overlap(entries)
+
+
+def test_weaving_fixture_engine_equals_reference_port():
+    """Transcription test on the exit-and-re-enter fixture (round-4
+    VERDICT item 2 done-criterion): engine == independent port of the
+    reduce with sum-for-constrainers / first-for-fork."""
+    paths = [
+        _weave_path(1, [0, 60], [0, 0]),
+        _weave_path(2, [0, 12, 24, 36, 48, 60], [0, 0, 24, 24, 0, 0]),
+        _weave_path(3, [0, 60], [0, 0]),  # third body forces real forking
+        _path(4, 0.2, 0.5),  # overlaps the straight lines' corridor
+    ]
+    want = sorted(_reference_port(paths, _overlap_matrix(paths)))
+    got = sorted(p.match_ids for p in GP.exact_combo_select(paths))
+    assert got == want
+
+
+def test_all_short_runs_mean_no_overlap():
+    """B dips toward A's corridor only in sub-2m touches (every B-side
+    intersection part falls to the reference's 2 m part filter,
+    getCospatialityOfLinestrings.js:301-303): entries must be EMPTY even
+    though the hull envelope spans ~25 m, and exact_combo_select must
+    treat the pair as NON-overlapping (the reference gets a null
+    cospatiality then) — the old hull-based overlap would have wrongly
+    constrained here."""
+    a = _weave_path(1, [0, 40], [0, 0], step_m=0.0625)
+    t = np.arange(0.0, 40.0 + 0.03125, 0.0625)
+    y = np.minimum(8.0, np.minimum(4.5 + 4 * np.abs(t - 10), 4.5 + 4 * np.abs(t - 30)))
+    b = GP.Path((2,), t / 1000.0 * KM_LON, y / 1000.0 * KM_LON)
+    c = K.cospatiality_two_sided(a.xs, a.ys, b.xs, b.ys)
+    assert c is not None
+    assert c["entries"] == []  # every B part <= 2 m of arc
+    assert c["b_end_km"] - c["b_start_km"] > 0.002  # hull alone would fire
+    chosen = GP.exact_combo_select([a, b])
+    assert sorted(p.match_ids[0] for p in chosen) == [1, 2]
 
 
 def test_fallback_cap_above_exact_n():
