@@ -304,3 +304,64 @@ def test_streaming_hamming_ttl_evicts_quiet_bucket(spark, tmp_path):
         q.stop()
     got = spark.table("evict_pairs").toPandas()
     assert len(got[got.id_a >= 0]) == 0  # pair across the gap was evicted
+
+
+def test_streaming_hamming_multichunk_pair_dedupes_to_one(spark, tmp_path):
+    """Cross-bucket dedup contract (round-4 VERDICT item 7): a pair whose
+    two docs arrive in DIFFERENT micro-batches and whose hashes match in
+    EVERY pigeonhole chunk (hamming 0) is emitted once per chunk bucket by
+    the stateful operator (at-least-once, as documented) — and the
+    documented downstream `.dropDuplicates(["id_a", "id_b"])` chain, whose
+    own state also crosses micro-batch boundaries, reduces it to EXACTLY
+    one row. Both layers are pinned: the raw sink proves the multi-chunk
+    emission actually happened (so the dedup is doing real work), the
+    deduped sink proves exactly-once."""
+    from gtfs_conflation_pipeline_spark.streaming.neardup import (
+        streaming_hamming_pairs,
+    )
+
+    # identical 48-bit hashes -> the pair matches in all 3 chunks
+    # (max_hamming=2); one doc per file -> one doc per micro-batch
+    docs = spark.createDataFrame([(1, 9999), (2, 9999)], "id long, h long")
+    src = str(tmp_path / "mc_src")
+    docs.repartition(2).write.parquet(src)
+
+    def _run(with_dedup: bool, name: str):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pairs = streaming_hamming_pairs(
+            stream, "id", "h", n_bits=48, max_hamming=2
+        )
+        if with_dedup:
+            pairs = pairs.filter(F.col("id_a") >= 0).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name).toPandas()
+
+    raw = _run(False, "mc_raw")
+    raw_pairs = raw[raw.id_a >= 0]
+    # premise: the SAME pair really was emitted from multiple chunk buckets
+    assert len(raw_pairs) == 3  # one per pigeonhole chunk
+    assert set(
+        (r.id_a, r.id_b, r.hamming) for r in raw_pairs.itertuples(index=False)
+    ) == {(1, 2, 0)}
+
+    deduped = _run(True, "mc_dedup")
+    assert len(deduped) == 1
+    assert (
+        int(deduped.id_a[0]),
+        int(deduped.id_b[0]),
+        int(deduped.hamming[0]),
+    ) == (1, 2, 0)
