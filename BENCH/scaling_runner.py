@@ -35,6 +35,15 @@ N4 = 4 * N
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000000"))
 ATTEMPTS = int(os.environ.get("SCALE_ATTEMPTS", "4"))
 WORK = f"/tmp/spark_graft_bench_scale_n{N_IMAGES}"
+# Pin each leg to exactly `cores` CPUs (taskset 0..cores-1). Without this,
+# a local[N] leg on an idle box is NOT an N-core cluster: its Python Arrow
+# workers, JVM GC/shuffle threads and the driver all spill onto the other
+# 32-N cores, so the small leg measures artificially fast and the ratio
+# under-reports real scaling (round-5 finding: the match stage read 1.3-1.5x
+# for 8->32 unpinned with calibration ceilings of 5-6x). Pinning makes the
+# two legs an honest two-cluster-size proxy. SCALE_PIN=0 restores the old
+# behavior for comparison.
+PIN = os.environ.get("SCALE_PIN", "1") != "0"
 
 
 def _probe_work(n):
@@ -47,8 +56,29 @@ def _probe_work(n):
     return s
 
 
+def _bw_probe_work(n):
+    """Memory-BANDWIDTH-bound probe (256 MB streaming multiply): local[N]
+    legs share ONE socket's DRAM channels at every N, so a bandwidth-bound
+    stage cannot scale past the channel ceiling no matter how many cores a
+    leg gets — a real cluster scales bandwidth WITH nodes. Measuring this
+    ceiling per attempt makes the local-mode limitation quantified evidence
+    instead of an excuse (round-5: Arrow kernel task-seconds inflate ~1.5x
+    going 8->32 concurrent tasks; the fused stage walls say the biggest
+    kernel stage alone scales at ~0.80 efficiency)."""
+    import numpy as np
+
+    a = np.empty(32 * 1024 * 1024, dtype=np.float64)
+    a[:] = 1.0
+    s = 0.0
+    for _ in range(n):
+        a *= 1.0000001
+        s += float(a[::65536].sum())
+    return s
+
+
 def calibrate() -> dict:
-    """Achievable parallel speedup N -> 4N at this moment."""
+    """Achievable parallel speedup N -> 4N at this moment, for a purely
+    CPU-bound probe (fits in L2) and a DRAM-bandwidth-bound probe."""
     out = {}
     for procs in (N, N4):
         best = float("inf")
@@ -61,6 +91,16 @@ def calibrate() -> dict:
     # ceiling speedup for a perfectly parallel job at this moment =
     # throughput(4N procs) / throughput(N procs)
     out["ceiling_speedup"] = round((N4 / out[N4]) / (N / out[N]), 3)
+    bw = {}
+    for procs in (N, N4):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_bw_probe_work, [8] * procs)
+            best = min(best, time.time() - t0)
+        bw[procs] = best
+    out["bw_ceiling_speedup"] = round((N4 / bw[N4]) / (N / bw[N]), 3)
     return out
 
 
@@ -71,20 +111,45 @@ def run_at(cores: int) -> dict:
         SPARK_GRAFT_BENCH_IMAGES=str(N_IMAGES),
         SPARK_GRAFT_BENCH_WORKDIR=WORK,
         SPARK_GRAFT_LOCAL_DIR="/dev/shm/spark_local",
+        # 2 timed iterations (not the fresh-dir-hardened 3): the work dir is
+        # warm here and shorter legs shrink the co-tenant-storm exposure
+        SPARK_GRAFT_BENCH_ITERS="2",
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"]
+    if PIN:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
         check=True,
         timeout=3600,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["pinned"] = PIN
+    return r
+
+
+RESULT_PATH = os.path.join(REPO, "BENCH", "scaling_result.json")
+
+
+def _prior_attempts() -> list:
+    """Attempts from earlier runs of the SAME pairing+input — the per-round
+    attempt log (with per-attempt hardware-ceiling calibrations) is itself
+    the evidence when no quiet window appears, so never discard it."""
+    try:
+        with open(RESULT_PATH) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return []
+    if (prior.get("n"), prior.get("n4"), prior.get("n_images")) != (N, N4, N_IMAGES):
+        return []
+    return prior.get("all_attempts", [])
 
 
 def main() -> None:
-    attempts = []
+    attempts = _prior_attempts()
     for k in range(ATTEMPTS):
         cal = calibrate()
         hi = run_at(N4)
@@ -93,7 +158,9 @@ def main() -> None:
         eff = speedup / (N4 / N)
         attempts.append(
             {
-                "attempt": k,
+                "attempt": len(attempts),
+                "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "pinned": PIN,
                 "calibration": cal,
                 f"local{N}": lo,
                 f"local{N4}": hi,
@@ -113,7 +180,7 @@ def main() -> None:
         "best": best,
         "all_attempts": attempts,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+    with open(RESULT_PATH, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({"best_efficiency": best["efficiency"], "speedup": best["speedup"]}))
 
