@@ -100,12 +100,23 @@ def image_dims(i: np.ndarray):
     return h64, w, hh
 
 
+# The payload rule (arange(n) + b) & 0xFF is a cyclic 0..255 ramp starting at
+# byte b, so every payload is a slice of ONE tiled pattern. Slicing _RAMP is
+# byte-identical to the formula but allocation-light: the formula's uint64
+# intermediates cost ~200 MB of fresh pages per 20k-row Arrow batch, and this
+# box page-faults fresh multi-100MB allocations at MB/s rates under co-tenant
+# load (measured: the np.repeat alone swung 2 s -> 130 s). Max payload is
+# 64*64*3 bytes (image_dims caps w,h at 64) + 510 for the start offset
+# (video frames start at (b + frame) % 256 <= 255, images at b <= 255).
+_RAMP = np.tile(np.arange(256, dtype=np.uint8), (64 * 64 * 3) // 256 + 2)
+
+
 def image_pixels(i: int) -> np.ndarray:
     """Deterministic pixel payload for row i (FIXTURES.md generation rule)."""
     h64, w, hh = image_dims(np.array([i]))
     n = int(w[0]) * int(hh[0]) * 3
-    base = (np.arange(n, dtype=np.uint64) + (h64[0] & np.uint64(0xFF))) & np.uint64(0xFF)
-    return base.astype(np.uint8).reshape(int(w[0]), int(hh[0]), 3)
+    b = int(h64[0] & np.uint64(0xFF))
+    return _RAMP[b : b + n].reshape(int(w[0]), int(hh[0]), 3).copy()
 
 
 def images_batch(i: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
@@ -131,13 +142,11 @@ def images_batch(i: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
     }
     if with_bytes:
         lens = (w.astype(np.int64) * hh.astype(np.int64) * 3).astype(np.int64)
-        offs = np.concatenate([[0], np.cumsum(lens)])
-        flat = (
-            np.concatenate([np.arange(n, dtype=np.uint64) for n in lens])
-            + np.repeat(h64 & np.uint64(0xFF), lens)
-        ) & np.uint64(0xFF)
-        flat = flat.astype(np.uint8)
-        out["bytes"] = [flat[offs[k] : offs[k + 1]].tobytes() for k in range(i.size)]
+        b0 = (h64 & np.uint64(0xFF)).astype(np.int64)
+        ramp = _RAMP
+        out["bytes"] = [
+            ramp[b0[k] : b0[k] + lens[k]].tobytes() for k in range(i.size)
+        ]
     else:
         out["bytes"] = [b""] * i.size
     return pd.DataFrame(
@@ -336,10 +345,8 @@ def video_frame(i: int, frame: int) -> np.ndarray:
     construction, frame 0 == the still pattern)."""
     h64, w, hh = image_dims(np.array([i]))
     n = int(w[0]) * int(hh[0]) * 3
-    base = (
-        np.arange(n, dtype=np.uint64) + (h64[0] & np.uint64(0xFF)) + np.uint64(frame)
-    ) & np.uint64(0xFF)
-    return base.astype(np.uint8).reshape(int(w[0]), int(hh[0]), 3)
+    b = (int(h64[0] & np.uint64(0xFF)) + frame) % 256
+    return _RAMP[b : b + n].reshape(int(w[0]), int(hh[0]), 3).copy()
 
 
 def video_batch(i: np.ndarray) -> pd.DataFrame:
