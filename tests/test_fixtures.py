@@ -41,6 +41,31 @@ def test_pixel_decode_invariant():
         assert np.array_equal(pix, FX.image_pixels(k))
 
 
+def test_payload_ramp_matches_formula():
+    """The _RAMP slice path must stay byte-identical to the FIXTURES.md
+    closed-form rule (arange(n) + splitmix64(i)&0xFF) & 0xFF — an
+    independent transcription, not a comparison of two _RAMP consumers."""
+    ids = np.array([0, 1, 7, 12345, 999_999, 7_999_999], dtype=np.int64)
+    df = FX.images_batch(ids)
+    h64, w, hh = FX.image_dims(ids)
+    for k in range(ids.size):
+        n = int(w[k]) * int(hh[k]) * 3
+        formula = (
+            (np.arange(n, dtype=np.uint64) + (h64[k] & np.uint64(0xFF)))
+            & np.uint64(0xFF)
+        ).astype(np.uint8)
+        assert df["bytes"][k] == formula.tobytes()
+    # video frames add the frame index before the mask
+    for idx, fr in [(0, 0), (0, 3), (12345, 11)]:
+        h64, w, hh = FX.image_dims(np.array([idx]))
+        n = int(w[0]) * int(hh[0]) * 3
+        formula = (
+            (np.arange(n, dtype=np.uint64) + (h64[0] & np.uint64(0xFF)) + np.uint64(fr))
+            & np.uint64(0xFF)
+        ).astype(np.uint8)
+        assert np.array_equal(FX.video_frame(idx, fr).ravel(), formula)
+
+
 def test_caption_format():
     df = FX.images_batch(np.array([0, 7, 61]), with_bytes=False)
     assert df["caption"][0] == "shape shp_00000 seg 0 pt 0"
