@@ -90,6 +90,34 @@ def get_spark(
     return spark
 
 
+def build_pyfiles_zip(zip_path: str | None = None) -> str:
+    """Package this library as the zip `spark-submit --py-files` ships to a
+    cluster (and ensure_shipped addPyFiles in-process). Rebuilds whenever
+    any source is newer than the zip — a stale zip makes workers import old
+    code (or miss new modules) silently. Returns the zip path."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if zip_path is None:
+        zip_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "gtfs_conflation_pipeline_spark.zip"
+        )
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ]
+    newest_src = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        tmp = zip_path + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        os.replace(tmp, zip_path)
+    return zip_path
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Make this package importable in Spark Python workers of an externally
     created SparkSession (the driver's, a notebook's): zip the package and
@@ -101,28 +129,7 @@ def ensure_shipped(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     if getattr(spark, "_gtfs_pkg_shipped", False):
         return
-    import zipfile
-
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), "gtfs_conflation_pipeline_spark.zip"
-    )
-    sources = [
-        os.path.join(root, f)
-        for root, _dirs, files in os.walk(pkg_dir)
-        for f in files
-        if f.endswith(".py")
-    ]
-    newest_src = max(os.path.getmtime(p) for p in sources)
-    # rebuild whenever any source is newer than the zip — a stale zip makes
-    # workers import old code (or miss new modules) silently
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
-        tmp = zip_path + f".tmp{os.getpid()}"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for full in sources:
-                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
-        os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
     spark._gtfs_pkg_shipped = True
 
 
