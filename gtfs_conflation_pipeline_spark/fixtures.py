@@ -105,9 +105,11 @@ def image_dims(i: np.ndarray):
 # byte-identical to the formula but allocation-light: the formula's uint64
 # intermediates cost ~200 MB of fresh pages per 20k-row Arrow batch, and this
 # box page-faults fresh multi-100MB allocations at MB/s rates under co-tenant
-# load (measured: the np.repeat alone swung 2 s -> 130 s). Max payload is
-# 64*64*3 bytes (image_dims caps w,h at 64) + 510 for the start offset
-# (video frames start at (b + frame) % 256 <= 255, images at b <= 255).
+# load (measured: the np.repeat alone swung 2 s -> 130 s). Required size:
+# max start offset 255 (both images' b and video frames' (b + frame) % 256
+# are < 256) + max payload 64*64*3 = 12543; the "+2" tiles give 12800
+# (512 bytes of slack). images_batch bounds-asserts against _RAMP.size
+# because numpy slicing would silently CLAMP a too-short pattern.
 _RAMP = np.tile(np.arange(256, dtype=np.uint8), (64 * 64 * 3) // 256 + 2)
 
 
@@ -143,6 +145,10 @@ def images_batch(i: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
     if with_bytes:
         lens = (w.astype(np.int64) * hh.astype(np.int64) * 3).astype(np.int64)
         b0 = (h64 & np.uint64(0xFF)).astype(np.int64)
+        if i.size:
+            # numpy slicing clamps out-of-range stops silently — fail loudly
+            # if image_dims' size caps ever outgrow the precomputed pattern
+            assert int((b0 + lens).max()) <= _RAMP.size, "resize fixtures._RAMP"
         ramp = _RAMP
         out["bytes"] = [
             ramp[b0[k] : b0[k] + lens[k]].tobytes() for k in range(i.size)
@@ -352,10 +358,18 @@ def video_frame(i: int, frame: int) -> np.ndarray:
 def video_batch(i: np.ndarray) -> pd.DataFrame:
     h64, w, hh = image_dims(i)
     nf = (4 + ((h64 >> np.uint64(40)) % np.uint64(9))).astype(np.int32)  # 4..12
+    lens = w.astype(np.int64) * hh.astype(np.int64) * 3
+    b0 = (h64 & np.uint64(0xFF)).astype(np.int64)
     out_b = []
-    for k, idx in enumerate(i):
-        frames = [video_frame(int(idx), f) for f in range(int(nf[k]))]
-        out_b.append(b"".join(f.tobytes() for f in frames))
+    for k in range(i.size):
+        n, b = int(lens[k]), int(b0[k])
+        # frame f == video_frame(i, f): the ramp slice starting (b+f)%256
+        out_b.append(
+            b"".join(
+                _RAMP[(b + f) % 256 : (b + f) % 256 + n].tobytes()
+                for f in range(int(nf[k]))
+            )
+        )
     return pd.DataFrame(
         {
             "video_id": np.char.add("vid_", np.char.zfill(i.astype(str), 12)),

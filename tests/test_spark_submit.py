@@ -20,9 +20,11 @@ from gtfs_conflation_pipeline_spark.session import build_pyfiles_zip
 SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 JOB = """
-import sys
-# prove imports come from the shipped zip, not a checkout on the machine
-assert not any(p.rstrip("/").endswith("repo") for p in sys.path), sys.path
+import os, sys
+# prove imports come from the shipped zip, not this machine's checkout
+# (__REPO_PARENT__ is substituted by the test with the package parent dir)
+_banned = os.path.realpath("__REPO_PARENT__")
+assert not any(os.path.realpath(p or ".") == _banned for p in sys.path), sys.path
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 
@@ -56,9 +58,12 @@ spark.stop()
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not bundled"
 )
 def test_spark_submit_py_files_smoke(tmp_path):
+    import gtfs_conflation_pipeline_spark as pkg
+
+    repo_parent = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
     zip_path = build_pyfiles_zip(str(tmp_path / "pkg.zip"))
     job = tmp_path / "job.py"
-    job.write_text(JOB)
+    job.write_text(JOB.replace("__REPO_PARENT__", repo_parent))
 
     env = {
         k: v
