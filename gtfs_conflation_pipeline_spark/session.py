@@ -63,6 +63,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # storm/pause resilience: under heavy co-tenant memory pressure (or a
+        # long driver GC pause on a big cluster) the default 120 s RPC ask
+        # timeout kills the scheduler endpoint mid-job — a 16M-image leg died
+        # twice to "Cannot find endpoint: CoarseGrainedScheduler" during a
+        # load-21 host storm. Large-cluster deployments raise these as a
+        # matter of course.
+        .config("spark.network.timeout", "600s")
+        .config("spark.rpc.askTimeout", "600s")
         # wrap (Java) integer-overflow semantics: the deterministic 64-bit
         # mixes (splitmix64 et al.) rely on modular arithmetic
         .config("spark.sql.ansi.enabled", "false")
