@@ -172,7 +172,11 @@ def main() -> None:
         shutil.rmtree("/dev/shm/spark_local", ignore_errors=True)
         if eff >= 0.85:
             break
-    best = max(attempts, key=lambda a: a["efficiency"])
+    # headline only among attempts measured under THIS run's pinning
+    # methodology — the appended log keeps both, but a pinned run must not
+    # adopt an unpinned best (or vice versa)
+    same_method = [a for a in attempts if a.get("pinned") == PIN] or attempts
+    best = max(same_method, key=lambda a: a["efficiency"])
     result = {
         "n": N,
         "n4": N4,

@@ -43,8 +43,11 @@ def markdown(rows: list[dict]) -> str:
     for r in rows:
         w = r["wall_sec"] or 0.0
         total += w
-        rps = f"{r['rows_out'] / w:,.0f}" if w and r["rows_out"] else "-"
-        out.append(f"| {r['stage']} | {w:.2f} | {r['rows_out']:,} | {rps} |")
+        n = r["rows_out"]
+        rps = f"{n / w:,.0f}" if w and n else "-"
+        out.append(
+            f"| {r['stage']} | {w:.2f} | {format(n, ',') if n is not None else '-'} | {rps} |"
+        )
     out.append(f"| **total (sum of stages)** | **{total:.2f}** | | |")
     return "\n".join(out)
 

@@ -4,7 +4,7 @@ entry(spark)   — flagship conflation join + tile assignment on the
                  deterministic synthetic fixture (sf0.001-scale).
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops); each callable: (spark, sf_dir) -> DataFrame.
-oracle_sql()   — matching ANSI SQL for DuckDB (50 of 60 entries): the
+oracle_sql()   — matching ANSI SQL for DuckDB (51 of 60 entries): the
                  pre-registered testdata views for the relational queries;
                  read_parquet over each stage's direct-input checkpoints
                  for the schedule stages (service_dates / scheduled_traffic
@@ -19,8 +19,13 @@ oracle_sql()   — matching ANSI SQL for DuckDB (50 of 60 entries): the
                  RECURSIVE-CTE components, top-k rerank) independently
                  re-derived in SQL. In all checkpoint-backed cases the
                  Spark query runs first and materializes the inputs.
-                 Entries absent here (conflation_matches,
-                 tile_assignments, match_paths, map_cospatiality,
+                 The flagship conflation_matches is oracled too: its
+                 CHOOSE greedy interval cover re-derives as a RECURSIVE
+                 CTE with a kept-interval LIST accumulator over the
+                 `refined` + `net_segments` stage checkpoints (bit-exact
+                 — the floats are pass-through from the same parquet).
+                 Entries absent here (tile_assignments, match_paths,
+                 map_cospatiality,
                  match_scores, redundant_removal, image_decode_stats,
                  image_transcode_dct, audio_features, video_frame_stats)
                  are non-SQL-expressible (geometry kernels / greedy

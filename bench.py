@@ -212,6 +212,18 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     flag = run_flagship(spark, N_IMAGES, work)
     q_times["flagship_conflation"] = flag["sec_total"]
+
+    # Second flagship row at 4M images (round-5 VERDICT item 7): the scaling
+    # evidence runs at 8M while the headline runs at 1M — this row tracks
+    # round-over-round perf at a size closer to where the engine is tuned.
+    # Output counts are deterministic per (n_images, zoom rules); disable
+    # with SPARK_GRAFT_BENCH_4M=0 for quick local loops.
+    flag_4m = None
+    if os.environ.get("SPARK_GRAFT_BENCH_4M", "1") == "1" and N_IMAGES < 4_000_000:
+        work_4m = "/tmp/spark_graft_bench_flagship_4m"
+        shutil.rmtree(work_4m, ignore_errors=True)
+        flag_4m = run_flagship(spark, 4_000_000, work_4m)
+        q_times["flagship_4m"] = flag_4m["sec_total"]
     spark.stop()
 
     result = {

@@ -312,16 +312,20 @@ def tile_key(zoom, xt, yt) -> np.ndarray:
 
 
 def zoom_for_networklevel(networklevel) -> np.ndarray:
-    """Min tile zoom per OSM network level — semantics of the reference
-    tileset zoom-filter rules (tasks/conflation_map_into_mapbox/bin/
-    createMBTilesNDGeoJSON: motorways at low zoom, residential only at high):
-    nl 0,1 -> z7; 2 -> z9; 3 -> z11; 4 -> z12; >=5 -> z13.
+    """MIN tile zoom per OSM network level — the reference's tippecanoe
+    FILTER thresholds, literally (tasks/conflation_map_into_mapbox/bin/
+    createMBTilesNDGeoJSON:13-39): a feature is admitted at every zoom >=
+    its min zoom (range semantics; we emit the compact one-row-per-
+    (segment, min_zoom, tile) form and the >=min_zoom range is derivable).
+    The FILTER's clauses give: nlev<1 -> 0 (the standalone ["<","nlev",1]
+    arm admits at ALL zooms, below the z>=3 arm); 1 -> 3; 2 -> 4; 3 -> 10;
+    4 -> 13; else 14 (the ["≥","$zoom",14] arm + --maximum-zoom 14).
     """
     nl = np.asarray(networklevel, dtype=np.int64)
     return np.select(
-        [nl <= 1, nl == 2, nl == 3, nl == 4],
-        [np.int64(7), np.int64(9), np.int64(11), np.int64(12)],
-        default=np.int64(13),
+        [nl < 1, nl == 1, nl == 2, nl == 3, nl == 4],
+        [np.int64(0), np.int64(3), np.int64(4), np.int64(10), np.int64(13)],
+        default=np.int64(14),
     )
 
 

@@ -261,7 +261,14 @@ def union_paths(paths: list[Path], max_rounds: int = 8) -> list[Path]:
 
 
 MAX_OVERLAP_THLD_KM = 0.002  # findNonAxiomaticPaths.js:10 (2 meters)
-EXACT_COMBO_MAX_N = 15  # full 2^n enumeration up to here; capped above
+# Exact combo choice up to here; capped longest-path fallback above. The
+# branch-and-bound search below explores the same solution space as the
+# reference's 2^n reduce but prunes any fork subtree whose optimistic bound
+# (current total + all remaining lengths) can't beat the incumbent, so
+# realistic length distributions stay sub-second well past the old full-
+# enumeration cap of 15 (worst case — all lengths tied — is still 2^forks,
+# the hazard the reference itself flags at :218-222).
+EXACT_COMBO_MAX_N = 24
 
 
 def exact_combo_select(paths: list[Path]) -> list[Path]:
@@ -316,9 +323,15 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
             first["b_end_km"] - first["b_start_km"],
         )
 
-    combos: list[list[int]] = [[]]
+    # STRUCTURAL pass — each path's role is a function of the overlap
+    # matrix alone, never of the include/exclude decisions, so it is fixed
+    # before the search: 'c' = constrained by earlier overlapping paths
+    # (deterministic: included iff every constrainer excluded, :129-170),
+    # 'f' = forks every combo (overlaps only later paths, :171-212),
+    # 'free' = included everywhere (:95-113 + the null-cospatiality row).
+    kinds: list[tuple] = []
     for i in range(n):
-        constrainers = []
+        constrainers: list[int] = []
         if has_overlap[i]:
             for j in range(i):
                 if not has_overlap[j]:
@@ -327,34 +340,70 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
                 if lij is not None and _constrainer_overlap(lij) > MAX_OVERLAP_THLD_KM:
                     constrainers.append(j)
         if constrainers:
-            for combo in combos:
-                combo.append(1 if all(combo[k] == 0 for k in constrainers) else 0)
-            continue
-        must_fork = False
-        for j in range(i + 1, n):
-            if not has_overlap[j]:
-                continue
-            lij = ov[j][i]
-            if lij is not None and _fork_overlap(lij) > MAX_OVERLAP_THLD_KM:
-                must_fork = True
-                break
-        if not must_fork:
-            for combo in combos:
-                combo.append(1)
-            continue
-        forks = [list(c) for c in combos]
-        for c in combos:
-            c.append(1)
-        for c in forks:
-            c.append(0)
-        combos.extend(forks)
+            kinds.append(("c", tuple(constrainers)))
+        elif any(
+            has_overlap[j]
+            and ov[j][i] is not None
+            and _fork_overlap(ov[j][i]) > MAX_OVERLAP_THLD_KM
+            for j in range(i + 1, n)
+        ):
+            kinds.append(("f",))
+        else:
+            kinds.append(("free",))
+
+    # BRANCH-AND-BOUND over the fork decisions. The reference's combo list
+    # order is descending-lexicographic in (f_k, ..., f_1) with 1 before 0
+    # (each fork appends the exclude copies AFTER every existing combo), and
+    # its strictly-greater max keeps the FIRST max — so the winner is the
+    # max of the key (total_length, f_k, ..., f_1). We search the same tree
+    # depth-first, accumulate the total in the same ascending-index float
+    # order (bit-identical sums), keep the explicit key for ties, and prune
+    # a subtree only when even including every remaining path cannot
+    # STRICTLY beat the incumbent value (ties must survive to the key
+    # comparison).
     lens = [p.length_km for p in paths]
-    best, best_v = combos[0], float("-inf")
-    for combo in combos:
-        v = sum(ln for inc, ln in zip(combo, lens) if inc)
-        if v > best_v:  # strictly greater: first max wins (:238-241)
-            best_v, best = v, combo
-    return [p for inc, p in zip(best, paths) if inc]
+    suffix = [0.0] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + lens[i]
+
+    best_v = float("-inf")
+    best_key: tuple | None = None
+    best_combo: list[int] | None = None
+    combo = [0] * n
+    fork_dec: list[int] = []
+
+    def dfs(i: int, val: float) -> None:
+        nonlocal best_v, best_key, best_combo
+        if val + suffix[i] < best_v:
+            return
+        if i == n:
+            key = tuple(reversed(fork_dec))
+            if val > best_v or (
+                val == best_v and (best_key is None or key > best_key)
+            ):
+                best_v, best_key, best_combo = val, key, combo.copy()
+            return
+        k = kinds[i]
+        if k[0] == "c":
+            inc = 1 if all(combo[j] == 0 for j in k[1]) else 0
+            combo[i] = inc
+            dfs(i + 1, val + lens[i] if inc else val)
+        elif k[0] == "free":
+            combo[i] = 1
+            dfs(i + 1, val + lens[i])
+        else:  # fork: include-first finds strong incumbents early
+            combo[i] = 1
+            fork_dec.append(1)
+            dfs(i + 1, val + lens[i])
+            combo[i] = 0
+            fork_dec[-1] = 0
+            dfs(i + 1, val)
+            fork_dec.pop()
+        combo[i] = 0
+
+    dfs(0, 0.0)
+    assert best_combo is not None
+    return [p for inc, p in zip(best_combo, paths) if inc]
 
 
 def choose_paths_for_segment(

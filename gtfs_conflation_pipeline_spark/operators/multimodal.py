@@ -177,7 +177,7 @@ def _huff_lengths(freq: np.ndarray, max_len: int = 16) -> np.ndarray:
         np.arange(len(counts), dtype=np.int64), counts.astype(np.int64)
     )
     out = np.zeros(freq.size, dtype=np.int64)
-    out[order] = np.sort(new_lens)[: order.size][::-1][::-1]  # ascending
+    out[order] = new_lens  # np.repeat output is already ascending
     return out
 
 

@@ -24,18 +24,23 @@ from ..functions.udfs import make_tiles_udf
 def assign_tiles(matches: DataFrame, osm: DataFrame) -> DataFrame:
     """matches: chosen conflation matches (must carry segment_id,
     networklevel). osm: osm.segments with (segment_id, xs, ys).
-    Returns (segment_id, zoom, tile_id) distinct."""
+    Returns (segment_id, min_zoom, tile_id) distinct — tiles are cut at the
+    feature's MIN zoom; the reference FILTER admits it at every zoom >=
+    min_zoom (range semantics, derivable from this compact form)."""
     tiles_of = make_tiles_udf()
     matched_segments = matches.select("segment_id", "networklevel").distinct()
-    # zoom rules by network level (kernels.zoom_for_networklevel, as a
-    # JVM-side expression so only the tile cover needs Python)
+    # min-zoom rules by network level: the reference tippecanoe FILTER
+    # thresholds, literally (createMBTilesNDGeoJSON:13-39; same constants
+    # as kernels.zoom_for_networklevel — JVM-side so only the tile cover
+    # needs Python)
     nl = F.col("networklevel")
-    zoom = (
-        F.when(nl <= 1, 7)
-        .when(nl == 2, 9)
-        .when(nl == 3, 11)
-        .when(nl == 4, 12)
-        .otherwise(13)
+    min_zoom = (
+        F.when(nl < 1, 0)
+        .when(nl == 1, 3)
+        .when(nl == 2, 4)
+        .when(nl == 3, 10)
+        .when(nl == 4, 13)
+        .otherwise(14)
         .cast("int")
     )
     geom = osm.select("segment_id", "xs", "ys")
@@ -43,11 +48,11 @@ def assign_tiles(matches: DataFrame, osm: DataFrame) -> DataFrame:
     return (
         matched_segments.join(geom, "segment_id")
         .repartition(par)
-        .withColumn("zoom", zoom)
+        .withColumn("min_zoom", min_zoom)
         .select(
             "segment_id",
-            "zoom",
-            F.explode(tiles_of("xs", "ys", "zoom")).alias("tile_id"),
+            "min_zoom",
+            F.explode(tiles_of("xs", "ys", "min_zoom")).alias("tile_id"),
         )
         .distinct()
     )

@@ -149,10 +149,10 @@ def oracle_conflation(n_images: int) -> dict[str, pd.DataFrame]:
         osm_by_id = {o.segment_id: o for o in osm.itertuples(index=False)}
         for sid in seg_ids:
             o = osm_by_id[sid]
-            zoom = int(K.zoom_for_networklevel(np.array([o.networklevel]))[0])
-            for t in K.tiles_for_polyline(np.asarray(o.xs), np.asarray(o.ys), zoom):
+            mz = int(K.zoom_for_networklevel(np.array([o.networklevel]))[0])
+            for t in K.tiles_for_polyline(np.asarray(o.xs), np.asarray(o.ys), mz):
                 tile_rows.append(
-                    {"segment_id": sid, "zoom": zoom, "tile_id": int(t)}
+                    {"segment_id": sid, "min_zoom": mz, "tile_id": int(t)}
                 )
     tiles = pd.DataFrame(tile_rows).drop_duplicates()
 

@@ -1794,6 +1794,88 @@ ORDER BY segment_id
 """
 
 
+def _sql_conflation_matches() -> str:
+    """Flagship oracle: the CHOOSE greedy interval cover + along-index rank
+    (spatial_join.choose_matches, chooseOptimalShstMatches /
+    loaders.js:357-366 analog) re-derived in ANSI SQL over the pipeline's
+    `refined` and `net_segments` stage checkpoints (the Spark query runs
+    first and materializes them, like every stage oracle).
+
+    The greedy cover is per-(shape_id, shape_index) sequential, so it maps
+    onto a RECURSIVE CTE advancing one ranked candidate per step across all
+    groups in lockstep, carrying the kept-interval list as a LIST<STRUCT>
+    accumulator (the dedup_clusters RECURSIVE-reachability pattern with
+    state). The already-covered overlap is a LEFT FOLD seeded with 0.0
+    (list_reduce over list_prepend), i.e. the exact summation order of the
+    engine's Python `sum(...)` over intervals in insertion order — floats
+    come straight from the same parquet, so the comparison is bit-exact,
+    not tolerance-based. Built lazily because the engine package version
+    keys the checkpoint path."""
+    from ..operators.spatial_join import MIN_COVER_RATIO, OVERLAP_TOL
+
+    return f"""
+WITH RECURSIVE
+flt AS (
+  SELECT r.*
+  FROM {_stage_pq('refined')} r
+  JOIN (SELECT shape_id, shape_index, length_km AS g_len_km
+        FROM {_stage_pq('net_segments')}) g
+    USING (shape_id, shape_index)
+  WHERE r.intxn_len_km / g.g_len_km >= {MIN_COVER_RATIO}),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY shape_id, shape_index
+                            ORDER BY intxn_len_km DESC, mean_dev_km,
+                                     shst_reference, segment_id) AS rn,
+         count(*) OVER (PARTITION BY shape_id, shape_index) AS n
+  FROM flt),
+greedy AS (
+  SELECT shape_id, shape_index, 0::BIGINT AS rn,
+         CAST([] AS BIGINT[]) AS keep_rns,
+         CAST([] AS STRUCT(lo DOUBLE, hi DOUBLE)[]) AS ivs,
+         max(n) AS n
+  FROM ranked GROUP BY shape_id, shape_index
+  UNION ALL
+  SELECT g.shape_id, g.shape_index, r.rn,
+         CASE WHEN ((r.section_end - r.section_start) > 0 AND
+              list_reduce(list_prepend(0.0, list_transform(g.ivs,
+                  iv -> greatest(0.0, least(iv.hi, r.section_end)
+                                     - greatest(iv.lo, r.section_start)))),
+                  (a, b) -> a + b)
+              / (r.section_end - r.section_start) <= {OVERLAP_TOL})
+              THEN list_append(g.keep_rns, r.rn) ELSE g.keep_rns END,
+         CASE WHEN ((r.section_end - r.section_start) > 0 AND
+              list_reduce(list_prepend(0.0, list_transform(g.ivs,
+                  iv -> greatest(0.0, least(iv.hi, r.section_end)
+                                     - greatest(iv.lo, r.section_start)))),
+                  (a, b) -> a + b)
+              / (r.section_end - r.section_start) <= {OVERLAP_TOL})
+              THEN list_append(g.ivs, {{'lo': r.section_start, 'hi': r.section_end}})
+              ELSE g.ivs END,
+         g.n
+  FROM greedy g
+  JOIN ranked r ON r.shape_id = g.shape_id AND r.shape_index = g.shape_index
+               AND r.rn = g.rn + 1
+  WHERE g.rn < g.n),
+kept AS (
+  SELECT shape_id, shape_index, unnest(keep_rns) AS rn
+  FROM greedy WHERE rn = n),
+chosen AS (
+  SELECT r.shape_id, r.shape_index, r.segment_id, r.shst_reference,
+         r.networklevel, r.section_start, r.section_end, r.osm_start,
+         r.osm_end, r.intxn_len_km, r.mean_dev_km, r.max_dev_km
+  FROM kept k JOIN ranked r USING (shape_id, shape_index, rn))
+SELECT *, rank() OVER (PARTITION BY shape_id, shape_index
+                       ORDER BY section_start, section_end,
+                                shst_reference)::INT AS along_idx
+FROM chosen
+ORDER BY shape_id, shape_index, along_idx
+"""
+
+
+SQL_CONFLATION_MATCHES = _sql_conflation_matches()
+
+
 def q_image_decode_stats(spark, sf):
     from ..operators import multimodal
     from .. import fixtures as FX
@@ -1964,4 +2046,9 @@ ORACLE_SQL: dict[str, str] = {
     "traffic_by_route": SQL_TRAFFIC_BY_ROUTE,
     "aadt_breakdown": SQL_AADT,
     "traffic_overall": SQL_TRAFFIC_OVERALL,
+    # flagship CHOOSE stage: greedy interval cover re-derived as a
+    # RECURSIVE CTE with a kept-interval LIST accumulator over the
+    # `refined` + `net_segments` stage checkpoints (bit-exact; the
+    # only engine-side inputs are the refine kernel's own outputs)
+    "conflation_matches": SQL_CONFLATION_MATCHES,
 }

@@ -25,6 +25,16 @@ Scale/state contract (explicit, never silent):
   are emitted AT-LEAST-ONCE overall (exactly once per bucket); chain
   `.dropDuplicates(["id_a", "id_b"])` (or a watermarked variant) on the
   result for exactly-once, as the batch operator's `.distinct()` does.
+- TTL x re-delivery bound: with `state_ttl_sec` set, a bucket evicted in
+  a quiet period forgets which pairs it already emitted. If a source then
+  RE-DELIVERS a doc (at-least-once ingestion), the re-admitted bucket can
+  emit a previously-emitted pair again — per-bucket exactly-once holds
+  only for the lifetime of the bucket's state. The downstream
+  dropDuplicates above restores global exactly-once as long as ITS state
+  outlives the re-delivery horizon (unwatermarked = always; watermarked =
+  set the watermark past the source's re-delivery window). Pinned by
+  tests/test_streaming_and_retry.py::
+  test_streaming_hamming_ttl_readmission_is_at_least_once.
 
 Batch equivalence for a drained static input is asserted in tests.
 """

@@ -144,6 +144,52 @@ def test_randomized_small_n_equals_reference_port(seed):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_n18_equals_reference_port(seed):
+    """Randomized n=18 interval sets (past the old full-enumeration cap of
+    15): the branch-and-bound engine == the independent 2^forks
+    transcription exactly."""
+    rng = np.random.RandomState(100 + seed)
+    n = 18
+    paths = []
+    for i in range(n):
+        s = float(rng.uniform(0, 12))
+        ln = float(rng.uniform(0.05, 2.0))
+        paths.append(_path(i, s, s + ln))
+    want = sorted(_reference_port(paths, _overlap_matrix(paths)))
+    got = sorted(p.match_ids for p in GP.exact_combo_select(paths))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", (7, 11))
+def test_randomized_n22_equals_reference_port(seed):
+    """n=22 (near the new cap): engine == transcription. Denser field so
+    overlap clusters — and therefore forks — actually occur."""
+    rng = np.random.RandomState(seed)
+    n = 22
+    paths = []
+    for i in range(n):
+        s = float(rng.uniform(0, 16))
+        ln = float(rng.uniform(0.05, 2.0))
+        paths.append(_path(i, s, s + ln))
+    want = sorted(_reference_port(paths, _overlap_matrix(paths)))
+    got = sorted(p.match_ids for p in GP.exact_combo_select(paths))
+    assert got == want
+
+
+def test_exact_tie_prefers_first_combo_in_reference_order():
+    """Two bit-identical-length paths over the same span: values tie
+    exactly, and the reference's strictly-greater scan keeps the FIRST max
+    in combo-list order — the include branch of the fork (A=1, B=0). The
+    branch-and-bound must reproduce that tie-break via its explicit
+    (value, f_k..f_1) key, not land on either arbitrarily."""
+    a = _path(1, 0.0, 1.0)
+    b = _path(2, 0.0, 1.0)
+    want = sorted(_reference_port([a, b], _overlap_matrix([a, b])))
+    chosen = GP.exact_combo_select([a, b])
+    assert sorted(p.match_ids for p in chosen) == want == [(1,)]
+
+
 def _weave_path(mid, t_knots_m, y_knots_m, step_m=0.5, t_max=None):
     """Path along the equator whose lateral offset (meters) follows the
     piecewise-linear profile (t_knots_m, y_knots_m); vertices every
@@ -234,7 +280,10 @@ def test_fallback_cap_above_exact_n():
         {
             "match_id": i + 1,
             "shst_reference": f"r{i+1}",
-            "xs": _path(0, 5.0 + 0.05 * i, 6.0 + 0.1 * i).xs,
+            # the 0.003 km offset keeps every end >= 3 m from every other
+            # candidate's start (off the shared 0.05 grid), so no pair can
+            # stitch via the 2 m merge_geospatial gap rule at any n
+            "xs": _path(0, 5.0 + 0.05 * i, 6.003 + 0.1 * i).xs,
             "ys": np.full(21, 0.0),
         }
         for i in range(n)

@@ -103,7 +103,9 @@ def test_tile_key_packing_unique():
 
 
 def test_zoom_for_networklevel():
-    assert list(K.zoom_for_networklevel([0, 1, 2, 3, 4, 5, 6])) == [7, 7, 9, 11, 12, 13, 13]
+    # reference tippecanoe FILTER thresholds (createMBTilesNDGeoJSON:13-39):
+    # nlev<1 admitted at all zooms, 1->3, 2->4, 3->10, 4->13, else max-zoom 14
+    assert list(K.zoom_for_networklevel([0, 1, 2, 3, 4, 5, 6])) == [0, 3, 4, 10, 13, 14, 14]
 
 
 def test_snap_point_simple():

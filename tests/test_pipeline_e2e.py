@@ -52,16 +52,16 @@ def test_tiles_equal_oracle(pipeline_out, oracle_out):
     eng = (
         out["tiles"]
         .toPandas()
-        .sort_values(["segment_id", "zoom", "tile_id"])
+        .sort_values(["segment_id", "min_zoom", "tile_id"])
         .reset_index(drop=True)
     )
     orc = (
         oracle_out["tiles"]
-        .sort_values(["segment_id", "zoom", "tile_id"])
+        .sort_values(["segment_id", "min_zoom", "tile_id"])
         .reset_index(drop=True)
     )
     assert len(eng) == len(orc)
-    for k in ["segment_id", "zoom", "tile_id"]:
+    for k in ["segment_id", "min_zoom", "tile_id"]:
         assert (eng[k].values == orc[k].values).all(), f"mismatch col {k}"
 
 

@@ -62,7 +62,7 @@ def test_query_matches_oracle(name, spark, duck):
 
 
 @pytest.mark.parametrize(
-    "name", sorted(set(QUERIES) - set(ORACLE_SQL) - {"conflation_matches", "tile_assignments"})
+    "name", sorted(set(QUERIES) - set(ORACLE_SQL) - {"tile_assignments"})
 )
 def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_DIR)

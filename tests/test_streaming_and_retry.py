@@ -365,3 +365,103 @@ def test_streaming_hamming_multichunk_pair_dedupes_to_one(spark, tmp_path):
         int(deduped.id_b[0]),
         int(deduped.hamming[0]),
     ) == (1, 2, 0)
+
+
+def test_streaming_hamming_ttl_readmission_is_at_least_once(spark, tmp_path):
+    """Adversarial TTL x exactly-once composition (round-5 VERDICT item 6):
+    pair (1,2) matches in BOTH pigeonhole chunk buckets; bucket (1,0) is
+    kept alive by filler traffic while bucket (0,555) goes quiet past the
+    TTL and is evicted. When doc 2 arrives the pair emits ONCE (only the
+    surviving bucket still remembers doc 1) — and doc 2 re-populates the
+    evicted bucket. A subsequent RE-DELIVERY of doc 1 (at-least-once
+    source semantics) then pairs against doc 2 in the re-admitted bucket
+    and the pair emits AGAIN: under TTL + re-delivery the operator is
+    AT-LEAST-ONCE, exactly as the module docstring bounds it, and the
+    documented downstream dropDuplicates(["id_a","id_b"]) restores
+    exactly-once. Without re-delivery it stays exactly-once per bucket
+    (the round-5 multi-chunk test)."""
+    import os as _os
+    import time as _t
+
+    from gtfs_conflation_pipeline_spark.streaming.neardup import (
+        streaming_hamming_pairs,
+    )
+
+    src = str(tmp_path / "readmit_src")
+    _os.makedirs(src, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, "id long, h long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # h=555: chunk0 = 555, chunk1 = 0 (48 bits, 2 chunks of 24).
+    # filler h=3855: chunk1 = 0 (same bucket (1,0) as doc 1 -> keeps it
+    # alive), chunk0 = 3855 (different bucket), hamming(3855,555)=6 > 1
+    # (never pairs with docs 1/2).
+    write([(1, 555)])
+    stream = (
+        spark.readStream.schema("id long, h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_hamming_pairs(
+        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=3
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("readmit_pairs")
+        .option("checkpointLocation", str(tmp_path / "readmit_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _input_rows() -> float:
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    def _pair_rows():
+        got = spark.table("readmit_pairs").toPandas()
+        return got[(got.id_a == 1) & (got.id_b == 2)]
+
+    def _wait_until(pred, timeout_s=120):
+        t0 = _t.time()
+        while _t.time() - t0 < timeout_s:
+            if pred():
+                return True
+            _t.sleep(0.4)
+        return False
+
+    # processAllAvailable() never returns with processing-time timeouts
+    # pending (batches keep scheduling) — poll progress/sink instead.
+    try:
+        assert _wait_until(lambda: _input_rows() >= 1)
+        # keep bucket (1,0) warm with fillers every ~1 s for ~8 s while
+        # bucket (0,555) stays quiet well past the 3 s TTL
+        seen = 1
+        for k in range(8):
+            _t.sleep(1.0)
+            write([(100 + k, 3855)])
+            seen += 1
+            assert _wait_until(lambda s=seen: _input_rows() >= s)
+        # doc 2: pairs with doc 1 ONLY via the surviving bucket (1,0);
+        # re-populates the evicted bucket (0,555) with itself
+        write([(2, 555)])
+        seen += 1
+        assert _wait_until(lambda s=seen: _input_rows() >= s)
+        assert _wait_until(lambda: len(_pair_rows()) >= 1)
+        first_emits = len(_pair_rows())
+        assert first_emits == 1  # the evicted bucket could NOT dedup-fan-out
+        # re-delivery of doc 1 within the TTL: the re-admitted bucket
+        # (0,555) holds doc 2 and emits the SAME pair again
+        write([(1, 555)])
+        seen += 1
+        assert _wait_until(lambda s=seen: _input_rows() >= s)
+        assert _wait_until(lambda: len(_pair_rows()) > first_emits)
+        raw = _pair_rows()
+        assert len(raw) >= 2  # at-least-once bound under TTL + re-delivery
+        assert set(zip(raw.id_a, raw.id_b, raw.hamming)) == {(1, 2, 0)}
+        # the documented exactly-once recovery
+        assert len(raw.drop_duplicates(["id_a", "id_b"])) == 1
+    finally:
+        q.stop()
