@@ -399,14 +399,19 @@ def test_streaming_hamming_ttl_readmission_is_at_least_once(spark, tmp_path):
     # filler h=3855: chunk1 = 0 (same bucket (1,0) as doc 1 -> keeps it
     # alive), chunk0 = 3855 (different bucket), hamming(3855,555)=6 > 1
     # (never pairs with docs 1/2).
-    write([(1, 555)])
+    # Warm-up doc 999 occupies disjoint buckets (0,77)/(1,7): the FIRST
+    # micro-batch pays JVM + Python-worker cold start (measured 5.3 s
+    # standalone — longer than the TTL), and a doc whose timeout is set in
+    # that batch would be evicted by the next batch before any filler
+    # lands. Pay the cold start on a throwaway key, then admit doc 1.
+    write([(999, (7 << 24) | 77)])
     stream = (
         spark.readStream.schema("id long, h long")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     pairs = streaming_hamming_pairs(
-        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=3
+        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=6
     )
     q = (
         pairs.writeStream.outputMode("append")
@@ -435,10 +440,12 @@ def test_streaming_hamming_ttl_readmission_is_at_least_once(spark, tmp_path):
     # processAllAvailable() never returns with processing-time timeouts
     # pending (batches keep scheduling) — poll progress/sink instead.
     try:
-        assert _wait_until(lambda: _input_rows() >= 1)
+        assert _wait_until(lambda: _input_rows() >= 1)  # cold start done
+        write([(1, 555)])
+        seen = 2
+        assert _wait_until(lambda s=seen: _input_rows() >= s)
         # keep bucket (1,0) warm with fillers every ~1 s for ~8 s while
-        # bucket (0,555) stays quiet well past the 3 s TTL
-        seen = 1
+        # bucket (0,555) stays quiet well past the 6 s TTL
         for k in range(8):
             _t.sleep(1.0)
             write([(100 + k, 3855)])
