@@ -401,17 +401,26 @@ def test_streaming_hamming_ttl_readmission_is_at_least_once(spark, tmp_path):
     # (never pairs with docs 1/2).
     # Warm-up doc 999 occupies disjoint buckets (0,77)/(1,7): the FIRST
     # micro-batch pays JVM + Python-worker cold start (measured 5.3 s
-    # standalone — longer than the TTL), and a doc whose timeout is set in
-    # that batch would be evicted by the next batch before any filler
-    # lands. Pay the cold start on a throwaway key, then admit doc 1.
+    # standalone — a large bite out of any real-clock TTL), and a doc whose
+    # timeout is set in that batch starts its TTL clock before the operator
+    # can process followers. Pay the cold start on a throwaway key, then
+    # admit doc 1.
     write([(999, (7 << 24) | 77)])
     stream = (
         spark.readStream.schema("id long, h long")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # TTL sizing (second de-flake of this test): the filler cadence must
+    # keep bucket (1,0) alive, i.e. every filler-to-filler PROCESSING gap
+    # must stay under the TTL. Under full-suite load a single slow parquet
+    # write + micro-batch once stretched a gap past the old 6 s TTL and
+    # evicted the "kept-alive" bucket too (zero emits). 12 s gives ~5x
+    # margin over the ~2-3 s loaded per-filler cadence while the quiet
+    # bucket's eviction is enforced by TIME below, not iteration count.
+    ttl_sec = 12
     pairs = streaming_hamming_pairs(
-        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=6
+        stream, "id", "h", n_bits=48, max_hamming=1, state_ttl_sec=ttl_sec
     )
     q = (
         pairs.writeStream.outputMode("append")
@@ -444,11 +453,18 @@ def test_streaming_hamming_ttl_readmission_is_at_least_once(spark, tmp_path):
         write([(1, 555)])
         seen = 2
         assert _wait_until(lambda s=seen: _input_rows() >= s)
-        # keep bucket (1,0) warm with fillers every ~1 s for ~8 s while
-        # bucket (0,555) stays quiet well past the 6 s TTL
-        for k in range(8):
-            _t.sleep(1.0)
+        t_doc1 = _t.time()
+        # keep bucket (1,0) warm with a filler cadence (each iteration waits
+        # for its batch, so gaps stay ~2-3 s << ttl) UNTIL bucket (0,555)
+        # has been quiet for ttl + 3 s — time-based, so the eviction
+        # precondition holds on a fast idle box (which could race through a
+        # fixed iteration count inside the TTL) and on a loaded one (where
+        # a fixed count at a slow cadence needlessly multiplies exposure).
+        k = 0
+        while _t.time() - t_doc1 < ttl_sec + 3:
+            _t.sleep(0.8)
             write([(100 + k, 3855)])
+            k += 1
             seen += 1
             assert _wait_until(lambda s=seen: _input_rows() >= s)
         # doc 2: pairs with doc 1 ONLY via the surviving bucket (1,0);
