@@ -34,7 +34,12 @@ N = int(os.environ.get("SCALE_N", "4"))
 N4 = 4 * N
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000000"))
 ATTEMPTS = int(os.environ.get("SCALE_ATTEMPTS", "4"))
-WORK = f"/tmp/spark_graft_bench_scale_n{N_IMAGES}"
+from gtfs_conflation_pipeline_spark import __version__  # noqa: E402
+
+# version-keyed like bench.flagship_subprocess: a fixture-semantics change
+# (e.g. the 0.8.1 constant-density disks) must never resume checkpoints
+# generated under the old layout
+WORK = f"/tmp/spark_graft_bench_scale_{__version__}_n{N_IMAGES}"
 # Pin each leg to exactly `cores` CPUs (taskset 0..cores-1). Without this,
 # a local[N] leg on an idle box is NOT an N-core cluster: its Python Arrow
 # workers, JVM GC/shuffle threads and the driver all spill onto the other
@@ -143,7 +148,12 @@ def _prior_attempts() -> list:
             prior = json.load(f)
     except (OSError, ValueError):
         return []
-    if (prior.get("n"), prior.get("n4"), prior.get("n_images")) != (N, N4, N_IMAGES):
+    if (prior.get("n"), prior.get("n4"), prior.get("n_images"), prior.get("version")) != (
+        N,
+        N4,
+        N_IMAGES,
+        __version__,
+    ):
         return []
     return prior.get("all_attempts", [])
 
@@ -181,6 +191,7 @@ def main() -> None:
         "n": N,
         "n4": N4,
         "n_images": N_IMAGES,
+        "version": __version__,
         "best": best,
         "all_attempts": attempts,
     }

@@ -32,7 +32,17 @@ STOP_EVERY = 10  # every 10th shape point is a stop
 CHUNK = 10  # OSM segment = chunk of 10 shape-point steps
 TRIPS_PER_SHAPE = 3
 LON0, LAT0 = -74.5, 41.8
-PHASH_MASK = np.uint64(0xFFFFF)
+# 21-bit quantized lon/lat offsets (1e-5 deg grid) packed as (lon << 32) | lat:
+# a 20.97-deg window. Widened from 20 bits in 0.8.1 — existing phashes decode
+# identically (their bit 20 is 0); the extra bit hosts disks 1-3 below.
+PHASH_MASK = np.uint64(0x1FFFFF)
+# Shapes per constant-density disk: radius 0.018*sqrt(m+0.5) stays under the
+# 5.2-deg disk radius for m < floor((5.2/0.018)^2). Four disks tile the 2x2
+# grid of the 21-bit window, so spatial density is CONSTANT out to
+# 4*83,456 shapes (~16.7M images); beyond that, disks wrap (d % 4) and
+# density doubles per lap — explicit, like the old single-disk cap at 4M.
+SHAPES_PER_DISK = 83_456
+DISK_PITCH_DEG = 10.48  # disk-center spacing; 5.24 + 10.48 + 5.2 + drift < 20.97
 
 # ---------------------------------------------------------------------------
 # closed-form numpy core (shared by Spark generators and the e2e oracle)
@@ -49,7 +59,7 @@ def shape_point(i: np.ndarray):
     numpy oracle, Spark generator, phash round-trip — produces bit-identical
     doubles. Bases are clamped 0.05 deg inside the domain so the curve drift
     (<0.03 deg) can never go negative relative to (LON0, LAT0), which would
-    wrap the 20-bit phash offsets.
+    wrap the 21-bit phash offsets.
     """
     i = np.asarray(i, dtype=np.int64)
     s = i // PTS_PER_SHAPE
@@ -57,16 +67,27 @@ def shape_point(i: np.ndarray):
     h = K.splitmix64(s.astype(np.uint64))
     u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
     u2 = (h >> np.uint64(32)).astype(np.float64) / 2**32
-    # sunflower (golden-angle) layout: shape s sits at radius ~ sqrt(s), so
-    # the covered area grows linearly with the data and SPATIAL DENSITY IS
-    # CONSTANT at any scale — like a growing real-world corpus, and the
-    # reason candidate-pair counts scale linearly rather than quadratically.
-    # Radius capped at 5.2 deg (the 20-bit phash window); ~83k shapes (4M
-    # images) fit before density starts creeping up.
+    # sunflower (golden-angle) layout: shape s sits at radius ~ sqrt(m) in
+    # its disk, so the covered area grows linearly with the data and SPATIAL
+    # DENSITY IS CONSTANT at any scale — like a growing real-world corpus,
+    # and the reason candidate-pair counts scale linearly rather than
+    # quadratically. Disk 0 (s < SHAPES_PER_DISK, i.e. every scale <= 4M
+    # images) is bit-identical to the pre-0.8.1 single-disk layout; shapes
+    # past it fill disks 1-3 of a 2x2 grid instead of piling onto the old
+    # 5.2-deg ring (which made candidate pairs quadratic past 4M: the 16M
+    # local[4] match stage measured 6.5x the 8M one for 2x the data).
     golden = 2.399963229728653
-    r = np.minimum(0.018 * np.sqrt(s.astype(np.float64) + 0.5), 5.2)
-    lon_base = LON0 + 5.24 + r * np.cos(s * golden) + (u1 - 0.5) * 0.01
-    lat_base = LAT0 + 5.24 + r * np.sin(s * golden) + (u2 - 0.5) * 0.01
+    d = (s // SHAPES_PER_DISK) % 4
+    m = s % SHAPES_PER_DISK
+    r = 0.018 * np.sqrt(m.astype(np.float64) + 0.5)
+    lon_base = (
+        LON0 + 5.24 + (d & 1) * DISK_PITCH_DEG
+        + r * np.cos(s * golden) + (u1 - 0.5) * 0.01
+    )
+    lat_base = (
+        LAT0 + 5.24 + ((d >> 1) & 1) * DISK_PITCH_DEG
+        + r * np.sin(s * golden) + (u2 - 0.5) * 0.01
+    )
     theta = u1 * 2 * np.pi
     phase = u2 * 2 * np.pi
     jj = j.astype(np.float64)
@@ -412,8 +433,8 @@ def raw_tables(spark: SparkSession, images: DataFrame) -> dict[str, DataFrame]:
     i_col = F.substring("image_id", 5, 12).cast("long")
     s_col = (i_col / PTS_PER_SHAPE).cast("long")
     j_col = i_col % PTS_PER_SHAPE
-    lon_col = F.lit(LON0) + F.shiftright("phash", 32).bitwiseAND(0xFFFFF) * 1e-5
-    lat_col = F.lit(LAT0) + F.col("phash").bitwiseAND(0xFFFFF) * 1e-5
+    lon_col = F.lit(LON0) + F.shiftright("phash", 32).bitwiseAND(0x1FFFFF) * 1e-5
+    lat_col = F.lit(LAT0) + F.col("phash").bitwiseAND(0x1FFFFF) * 1e-5
 
     # NOTE no rounding: coords are already 1e-5-quantized by construction and
     # the decode arithmetic (LON0 + q*1e-5) is the bit-exact contract between

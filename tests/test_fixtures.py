@@ -126,3 +126,67 @@ def test_raw_tables_consistent(spark):
     assert len(trips) == (500 // FX.PTS_PER_SHAPE) * FX.TRIPS_PER_SHAPE
     assert len(st) == len(trips) * (FX.PTS_PER_SHAPE // FX.STOP_EVERY)
     assert set(st.trip_id) == set(trips.trip_id)
+
+
+def test_disk_layout_back_compat_and_window_bounds():
+    """0.8.1 constant-density disks: disk 0 must reproduce the pre-0.8.1
+    single-disk layout BIT-EXACTLY (every test/bench scale <= 4M images
+    lives there — n_matches at 1M has been 90,065 since round 1), and far
+    shapes must land inside the 21-bit phash window with an exact
+    encode/decode round-trip (a wrap would silently corrupt coordinates)."""
+    # (a) disk 0 == the legacy formula (independent transcription, with the
+    # old np.minimum cap that was the 0.8.0 behavior below the cap)
+    i = np.concatenate(
+        [np.arange(500), np.arange(FX.SHAPES_PER_DISK - 2, FX.SHAPES_PER_DISK) * FX.PTS_PER_SHAPE]
+    )
+    s = i // FX.PTS_PER_SHAPE
+    j = i % FX.PTS_PER_SHAPE
+    h = FX.K.splitmix64(s.astype(np.uint64))
+    u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    u2 = (h >> np.uint64(32)).astype(np.float64) / 2**32
+    golden = 2.399963229728653
+    r_old = np.minimum(0.018 * np.sqrt(s.astype(np.float64) + 0.5), 5.2)
+    lon_b = FX.LON0 + 5.24 + r_old * np.cos(s * golden) + (u1 - 0.5) * 0.01
+    lat_b = FX.LAT0 + 5.24 + r_old * np.sin(s * golden) + (u2 - 0.5) * 0.01
+    theta, phase = u1 * 2 * np.pi, u2 * 2 * np.pi
+    jj = j.astype(np.float64)
+    lon_o = lon_b + 6.0e-4 * jj * np.cos(theta) + 2.5e-4 * np.sin(jj / 5.0 + phase)
+    lat_o = lat_b + 4.5e-4 * jj * np.sin(theta) + 2.5e-4 * np.cos(jj / 7.0 + phase)
+    lon_o = FX.LON0 + np.round((lon_o - FX.LON0) * 1e5).astype(np.int64) * 1e-5
+    lat_o = FX.LAT0 + np.round((lat_o - FX.LAT0) * 1e5).astype(np.int64) * 1e-5
+    _, _, lon_n, lat_n = FX.shape_point(i)
+    assert (lon_n == lon_o).all() and (lat_n == lat_o).all()
+
+    # (b) all four disks + the wrap lap: offsets strictly inside the 21-bit
+    # window, and phash encode/decode is an exact fixed point
+    far = []
+    for d in range(5):  # disk 0..3 plus first wrapped disk
+        s0 = d * FX.SHAPES_PER_DISK
+        far.append(np.arange(s0 * FX.PTS_PER_SHAPE, s0 * FX.PTS_PER_SHAPE + 200))
+        s1 = (d + 1) * FX.SHAPES_PER_DISK - 1  # outermost ring of the disk
+        far.append(np.arange(s1 * FX.PTS_PER_SHAPE, (s1 + 1) * FX.PTS_PER_SHAPE))
+    i = np.concatenate(far)
+    _, _, lon, lat = FX.shape_point(i)
+    q_lon = np.round((lon - FX.LON0) * 1e5).astype(np.int64)
+    q_lat = np.round((lat - FX.LAT0) * 1e5).astype(np.int64)
+    # distractor offset (+3e-3 lat) and stop jitter (1e-4) must also fit
+    assert q_lon.min() > 0 and q_lat.min() > 0
+    assert q_lon.max() + 300 < 2**21 and q_lat.max() + 300 < 2**21
+    p = FX.phash_from_lonlat(lon, lat)
+    lon2, lat2 = FX.lonlat_from_phash(p)
+    # decode == round6 of the generator coords (the one decode path), and
+    # re-encoding the decoded coords is a FIXED POINT (no drift across
+    # encode/decode laps even in the new 21-bit range)
+    assert (lon2 == FX.K.round6(lon)).all() and (lat2 == FX.K.round6(lat)).all()
+    assert (FX.phash_from_lonlat(lon2, lat2) == p).all()
+
+    # (c) disks 1..3 are genuinely disjoint in space from disk 0 (constant
+    # density, not a pile-up): bounding boxes per disk do not overlap
+    s_disk = (i // FX.PTS_PER_SHAPE // FX.SHAPES_PER_DISK) % 4
+    for a in range(4):
+        for b in range(a + 1, 4):
+            la, lb = lon[s_disk == a], lon[s_disk == b]
+            ta, tb = lat[s_disk == a], lat[s_disk == b]
+            sep_lon = la.max() < lb.min() or lb.max() < la.min()
+            sep_lat = ta.max() < tb.min() or tb.max() < ta.min()
+            assert sep_lon or sep_lat

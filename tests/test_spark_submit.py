@@ -38,8 +38,8 @@ from gtfs_conflation_pipeline_spark.functions import udfs as U
 from gtfs_conflation_pipeline_spark.operators.spatial_join import CELL_DEG
 
 imgs = FX.images_table(spark, 3000, partitions=4, with_bytes=False)
-lon = F.lit(FX.LON0) + F.shiftright("phash", 32).bitwiseAND(0xFFFFF) * 1e-5
-lat = F.lit(FX.LAT0) + F.col("phash").bitwiseAND(0xFFFFF) * 1e-5
+lon = F.lit(FX.LON0) + F.shiftright("phash", 32).bitwiseAND(0x1FFFFF) * 1e-5
+lat = F.lit(FX.LAT0) + F.col("phash").bitwiseAND(0x1FFFFF) * 1e-5
 cells = (
     imgs.withColumn("cell", U.cell_of(lon, lat, F.lit(CELL_DEG)))
     .agg(
