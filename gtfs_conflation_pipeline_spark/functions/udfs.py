@@ -67,16 +67,49 @@ def make_cover_cells_udf(cell_deg: float, ring: int):
 
 
 def make_tiles_udf(zoom_by_row: bool = True):
-    """Tile keys covering a polyline at its per-row zoom."""
+    """Tile keys covering a polyline at its per-row zoom.
+
+    Batch-vectorized (round 7): rows are grouped by zoom (<= 6 distinct
+    min-zoom values exist) and each group runs ONE lonlat_to_tile +
+    lexsort-unique pass over the concatenated vertices — the per-row loop
+    with a structured np.unique(axis=0) per polyline was dispatch-bound
+    (same disease as the round-2 cover-cell fix). Per-row tile SETS and
+    their order are identical to tiles_for_polyline: tile_key is injective
+    on (fixed zoom, xt, yt) and monotone in (xt, yt), so key-sorted unique
+    == pair-lexsorted unique."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def tiles_of(xs: pd.Series, ys: pd.Series, zoom: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                K.tiles_for_polyline(np.asarray(x), np.asarray(y), int(z))
-                for x, y, z in zip(xs, ys, zoom)
-            ]
-        )
+        out: list = [None] * len(xs)
+        by_zoom: dict[int, list[int]] = {}
+        for i, z in enumerate(zoom):
+            by_zoom.setdefault(int(z), []).append(i)
+        xv = xs.values
+        yv = ys.values
+        for z, idxs in by_zoom.items():
+            arrs = [np.asarray(xv[i], dtype=np.float64) for i in idxs]
+            lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+            if int(lens.sum()) == 0:
+                for i in idxs:
+                    out[i] = np.empty(0, dtype=np.int64)
+                continue
+            lon = np.concatenate(arrs)
+            lat = np.concatenate(
+                [np.asarray(yv[i], dtype=np.float64) for i in idxs]
+            )
+            xt, yt = K.lonlat_to_tile(lon, lat, z)
+            key = K.tile_key(z, xt, yt)
+            row_id = np.repeat(np.arange(len(idxs)), lens)
+            order = np.lexsort((key, row_id))
+            rs, ks = row_id[order], key[order]
+            new = np.empty(ks.size, dtype=bool)
+            new[0] = True
+            new[1:] = (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])
+            ur, uk = rs[new], ks[new]
+            bounds = np.searchsorted(ur, np.arange(len(idxs) + 1))
+            for j, i in enumerate(idxs):
+                out[i] = uk[bounds[j] : bounds[j + 1]]
+        return pd.Series(out)
 
     return tiles_of
 

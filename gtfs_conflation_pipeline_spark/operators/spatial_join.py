@@ -44,7 +44,6 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .. import kernels as K
-from ..functions.udfs import make_cover_cells_udf
 
 # Cell size tuned to the corridor radius, not the segment length: 0.002 deg
 # (~220 m) + a 1-ring dilation guarantees recall for the 30 m corridor while
@@ -66,6 +65,74 @@ KERNEL_SLAB_ELEMS = 200_000
 
 def _slab_rows(per_pair_elems: int) -> int:
     return max(32, KERNEL_SLAB_ELEMS // max(per_pair_elems, 1))
+
+
+def _pack_cell(x, y, cell_deg: float):
+    """Grid cell of a point packed into one long: (ix << 32) + iy with
+    ix = floor((lon+180)/cell), iy = floor((lat+90)/cell). Both indices are
+    non-negative on the valid domain, so the packing is injective; a k-ring
+    neighbor is a CONSTANT offset ((dx<<32)+dy) — the property that lets the
+    ring dilation run as plain JVM array arithmetic. (The Morton encoding the
+    Arrow kernels use is an equivalent bijection on grid pairs; the join only
+    needs consistency, not a specific code.)"""
+    return (
+        F.floor((x + F.lit(180.0)) / F.lit(cell_deg)) * F.lit(1 << 32).cast("long")
+        + F.floor((y + F.lit(90.0)) / F.lit(cell_deg))
+    )
+
+
+def cover_cells_col(xs, ys, cell_deg: float, ring: int):
+    """Cover cells of a polyline as a pure JVM column expression (round 7):
+    cells of the vertices plus the planar edge midpoints (kernels.midpoints
+    densification — same (a+b)/2 IEEE arithmetic), deduped, optionally
+    k-ring dilated. Replaces the Arrow cover-cell UDF on the candidate hot
+    path: the floor/pack arithmetic is exact in both engines (unlike trig),
+    so the candidate-pair SET is identical to the kernel path — cell codes
+    are engine-internal join keys and never leave the operator. Dropping
+    the Python hop also drops the round-robin repartition the Arrow stage
+    needed: the explode now rides the scan's own task parallelism inside
+    codegen.
+
+    Ring dilation emits iy-1 for iy=0 rows (lat within one cell of -90) as
+    (ix<<32)-1 — distinct from every real cell key (real iy <= 90/cell_deg
+    << 2^32), so such ghost cells match nothing, exactly like the Morton
+    path's (ix, -1) cells."""
+    n = F.size(xs)
+    empty = F.array().cast("array<long>")
+    v_cells = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: _pack_cell(F.element_at(xs, i), F.element_at(ys, i), cell_deg),
+        ),
+    ).otherwise(empty)
+    m_cells = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: _pack_cell(
+                (F.element_at(xs, i) + F.element_at(xs, i + 1)) / 2.0,
+                (F.element_at(ys, i) + F.element_at(ys, i + 1)) / 2.0,
+                cell_deg,
+            ),
+        ),
+    ).otherwise(empty)
+    base = F.array_distinct(F.concat(v_cells, m_cells))
+    if ring <= 0:
+        return base
+    offs = [
+        (dx << 32) + dy
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    ]
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                base,
+                lambda c: F.array(*[c + F.lit(o).cast("long") for o in offs]),
+            )
+        )
+    )
 
 REFINE_SCHEMA = T.StructType(
     [
@@ -99,20 +166,22 @@ def candidate_pairs(
     Returns distinct (shape_id, shape_index, segment_id) pairs with both
     geometries attached (arrays joined back post-dedupe).
     """
-    g_cover = make_cover_cells_udf(cell_deg, ring=ring)
-    o_cover = make_cover_cells_udf(cell_deg, ring=0)
-
-    # pin kernel parallelism for the cover UDFs: parquet split counts of the
-    # small upstream stage outputs (often few files) would otherwise cap the
-    # Arrow kernel stages at the file count
-    par = segments.sparkSession.sparkContext.defaultParallelism
-    g_cells = segments.repartition(par).select(
+    # Cover cells are a pure JVM column expression (round 7): no Arrow hop,
+    # and therefore no round-robin repartition — the old Python cover stage
+    # needed one so parquet split counts would not cap kernel parallelism;
+    # the codegen'd explode rides the scan tasks directly.
+    g_cells = segments.select(
         "shape_id",
         "shape_index",
-        F.explode(g_cover("xs", "ys")).alias("cell"),
+        F.explode(cover_cells_col(F.col("xs"), F.col("ys"), cell_deg, ring)).alias(
+            "cell"
+        ),
     )
-    o_cells = osm.repartition(par).select(
-        "segment_id", F.explode(o_cover("xs", "ys")).alias("cell")
+    o_cells = osm.select(
+        "segment_id",
+        F.explode(cover_cells_col(F.col("xs"), F.col("ys"), cell_deg, 0)).alias(
+            "cell"
+        ),
     )
     pairs = (
         g_cells.join(o_cells, "cell")
@@ -256,9 +325,27 @@ def choose_matches(
     (one shuffle) and the greedy cover runs as a SCALAR pandas_udf over the
     array column — one Python call per Arrow batch instead of one per group
     (grouped applyInPandas costs ~5 ms/group, which serializes to minutes
-    when AQE coalesces small shuffles to few partitions)."""
+    when AQE coalesces small shuffles to few partitions). The along-index
+    RANK is computed inside the SAME UDF over the kept rows (each
+    collect_list group IS one rank partition): a Window after a Python eval
+    node costs a full re-Exchange + Sort on the very keys the groupBy just
+    partitioned by, because EvalPython operators report unknown output
+    partitioning to EnsureRequirements (round-7 plan audit: Exchange(60)
+    removed). rank() semantics reproduced exactly: competition ranking
+    (1,1,3) over (section_start, section_end, shst_reference) — float
+    compares are IEEE in both engines and the reference keys are ASCII, so
+    tie groups and hence ranks are identical."""
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("i", T.IntegerType()),
+                    T.StructField("r", T.IntegerType()),
+                ]
+            )
+        )
+    )
     def choose_idx(cands: pd.Series) -> pd.Series:
         out = []
         for lst in cands:
@@ -279,7 +366,20 @@ def choose_matches(
                 if (b - a) > 0 and ov / (b - a) <= OVERLAP_TOL:
                     keep.append(i)
                     intervals.append((a, b))
-            out.append(keep)
+            # along-index rank over the kept rows (loaders.js:357-366):
+            # competition rank on (section_start, section_end, shst_reference)
+            rk = lambda i: (  # noqa: E731
+                lst[i]["section_start"],
+                lst[i]["section_end"],
+                lst[i]["shst_reference"],
+            )
+            ordered = sorted(keep, key=rk)
+            ranks: dict[int, int] = {}
+            for pos, i in enumerate(ordered):
+                ranks[i] = ranks[ordered[pos - 1]] if pos > 0 and rk(i) == rk(
+                    ordered[pos - 1]
+                ) else pos + 1
+            out.append([(i, ranks[i]) for i in keep])
         return pd.Series(out)
 
     filtered = refined.filter(
@@ -305,21 +405,28 @@ def choose_matches(
     grouped = filtered.groupBy("shape_id", "shape_index").agg(
         F.collect_list(F.struct(*cand_cols)).alias("cands")
     )
-    chosen = (
+    return (
         grouped.withColumn("keep", choose_idx("cands"))
         .select(
             "shape_id",
             "shape_index",
             F.explode(
-                F.transform("keep", lambda i: F.element_at("cands", i + 1))
-            ).alias("c"),
+                F.transform(
+                    "keep",
+                    lambda k: F.struct(
+                        F.element_at("cands", k["i"] + 1).alias("c"),
+                        k["r"].alias("r"),
+                    ),
+                )
+            ).alias("kc"),
         )
-        .select("shape_id", "shape_index", *[F.col(f"c.{c}").alias(c) for c in cand_cols])
+        .select(
+            "shape_id",
+            "shape_index",
+            *[F.col(f"kc.c.{c}").alias(c) for c in cand_cols],
+            F.col("kc.r").cast("int").alias("along_idx"),
+        )
     )
-    w = Window.partitionBy("shape_id", "shape_index").orderBy(
-        "section_start", "section_end", "shst_reference"
-    )
-    return chosen.withColumn("along_idx", F.rank().over(w))
 
 
 def remove_redundant_matches(
@@ -433,10 +540,12 @@ def map_segments_cospatiality(
     id_a < id_b dedupe -> JVM bbox prefilter -> array attach for survivors
     -> one Arrow refine hop. Self-join keys are the same Morton cells, so
     AQE skew-join covers urban-core hot cells."""
-    cover = make_cover_cells_udf(cell_deg, ring=0)
-    par = osm.sparkSession.sparkContext.defaultParallelism
-    cells = osm.repartition(par).select(
-        "segment_id", F.explode(cover("xs", "ys")).alias("cell")
+    # JVM cover cells, no Arrow hop / repartition (see cover_cells_col)
+    cells = osm.select(
+        "segment_id",
+        F.explode(cover_cells_col(F.col("xs"), F.col("ys"), cell_deg, 0)).alias(
+            "cell"
+        ),
     )
     pairs = (
         cells.alias("x")
