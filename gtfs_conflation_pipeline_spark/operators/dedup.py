@@ -328,6 +328,8 @@ def minhash_lsh_pairs(
     all-pairs shingle self-join of `ngram_jaccard_pairs`. That keeps the
     whole operator sub-quadratic at 100 TB, which is the point of LSH.
     """
+    from pyspark import StorageLevel
+
     if banded is None:
         banded = minhash_banded(df, id_col, text_col, n=n, k=k, bands=bands)
     cands = (
@@ -337,9 +339,14 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
+    # The verify step reads the per-doc shingle sets TWICE (id_a side and
+    # id_b side). Both joins broadcast-build this table independently, so
+    # without a persist the corpus is tokenized twice per run — the same
+    # multi-consumer hazard the ngram self-join solves the same way
+    # (round 7; measured ~0.7 s of the benched query at sf0.1).
     doc_sh = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shs")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     verified = (
         cands.join(doc_sh.select(F.col("doc").alias("id_a"), F.col("shs").alias("sa")), "id_a")
         .join(doc_sh.select(F.col("doc").alias("id_b"), F.col("shs").alias("sb")), "id_b")
@@ -573,7 +580,15 @@ def hamming_near_pairs(
     base, rem = divmod(n_bits, n_chunks)
     widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    chunks = hashes.select(
+    # Round-robin the NARROW (id, hash) rows before the chunk explode: the
+    # join's probe side otherwise inherits the input's scan parallelism —
+    # a single-row-group signature table probes the whole self-join in ONE
+    # task, and hot chunk values make the probe quadratic per bucket (the
+    # sf0.1 simhash table generates 15.3M joined rows; measured 1.3 s
+    # single-task vs ~0.3 s spread). 16 bytes/row, so at beyond-broadcast
+    # scale this pre-shuffle is noise next to the join's own key exchange.
+    par = hashes.sparkSession.sparkContext.defaultParallelism
+    chunks = hashes.repartition(par).select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
         F.posexplode(
@@ -589,20 +604,25 @@ def hamming_near_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    # Verify BEFORE dedupe (round 7): hot chunk values make the self-join
+    # quadratic per bucket (the sf0.1 simhash table emits 15.3M joined rows
+    # from 5k docs), and the old plan shuffled all of them through the
+    # distinct before applying the Hamming test. bit_count(xor) is a cheap
+    # whole-stage-codegen op per joined row, so filtering first costs the
+    # same scan but shrinks the distinct's shuffle to the true near-pairs.
+    # distinct-then-filter == filter-then-distinct here: each id has exactly
+    # one hash, so (id_a, id_b) determines hamming.
+    ham = F.bit_count(F.col("x._h").bitwiseXOR(F.col("y._h")))
     return (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk_idx", "chunk"])
-        .filter(F.col("x._id") < F.col("y._id"))
+        .filter((F.col("x._id") < F.col("y._id")) & (ham <= max_hamming))
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            F.col("x._h").alias("ha"),
-            F.col("y._h").alias("hb"),
+            ham.cast("int").alias("hamming"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
