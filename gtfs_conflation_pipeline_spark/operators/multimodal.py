@@ -402,17 +402,21 @@ def decode_dct(buf: bytes) -> np.ndarray:
     ac_lens, off = _unpack_table(buf, off)
     (n_bits,) = struct.unpack_from("<I", buf, off)
     off += 4
-    data = np.frombuffer(buf, dtype=np.uint8, offset=off)
-    # widen to python ints once; pad so any 16-bit peek near the end is safe
-    by = np.concatenate([data, np.zeros(4, dtype=np.uint8)]).astype(np.int64)
-    dc_sym, dc_ln = _decode_lut(dc_lens)
-    ac_sym, ac_ln = _decode_lut(ac_lens)
+    # Python-native buffers for the sequential token walk (round 7): the
+    # loop is inherently serial (Huffman token boundaries are
+    # data-dependent), but indexing a numpy array returns a numpy scalar at
+    # ~100 ns per access — bytes/list indexing returns plain ints ~3x
+    # faster. Bit-identical: pure container change.
+    by = bytes(buf[off:]) + b"\x00\x00\x00\x00"
+    dc_sym_a, dc_ln_a = _decode_lut(dc_lens)
+    ac_sym_a, ac_ln_a = _decode_lut(ac_lens)
+    dc_sym, dc_ln = dc_sym_a.tolist(), dc_ln_a.tolist()
+    ac_sym, ac_ln = ac_sym_a.tolist(), ac_ln_a.tolist()
 
     def peek16(p: int) -> int:
         b = p >> 3
         return (
-            ((int(by[b]) << 16) | (int(by[b + 1]) << 8) | int(by[b + 2]))
-            >> (8 - (p & 7))
+            ((by[b] << 16) | (by[b + 1] << 8) | by[b + 2]) >> (8 - (p & 7))
         ) & 0xFFFF
 
     n_blocks = n_coef // 64

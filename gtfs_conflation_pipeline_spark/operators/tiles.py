@@ -43,11 +43,14 @@ def assign_tiles(matches: DataFrame, osm: DataFrame) -> DataFrame:
         .otherwise(14)
         .cast("int")
     )
+    # No repartition before the tile UDF (round 7): the geometry side is a
+    # stage checkpoint written with >= max-parallelism files/buckets, so the
+    # broadcast join's output already carries the scan's full task count —
+    # the old round-robin exchange re-shuffled every coordinate array
+    # (~150 MB at 4M images) to arrange parallelism the scan already had.
     geom = osm.select("segment_id", "xs", "ys")
-    par = osm.sparkSession.sparkContext.defaultParallelism
     return (
         matched_segments.join(geom, "segment_id")
-        .repartition(par)
         .withColumn("min_zoom", min_zoom)
         .select(
             "segment_id",
