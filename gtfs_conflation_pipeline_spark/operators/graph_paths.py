@@ -32,6 +32,7 @@ reference-semantics path — on well-behaved candidates the two agree
 from __future__ import annotations
 
 import heapq
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -374,7 +375,13 @@ def exact_combo_select(paths: list[Path]) -> list[Path]:
 
     def dfs(i: int, val: float) -> None:
         nonlocal best_v, best_key, best_combo
-        if val + suffix[i] < best_v:
+        # Conservative prune (round-7 ADVICE fix): `suffix` accumulates
+        # right-to-left while the real combo value accumulates left-to-right,
+        # so val + suffix[i] can undershoot the achievable sum by ulps and a
+        # strict < could prune a tie whose key should win. One ulp of
+        # headroom keeps the bound an upper estimate; correctness-safe (a
+        # looser bound only explores more).
+        if math.nextafter(val + suffix[i], math.inf) < best_v:
             return
         if i == n:
             key = tuple(reversed(fork_dec))
