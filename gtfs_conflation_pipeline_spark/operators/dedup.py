@@ -175,18 +175,33 @@ def ngram_jaccard_pairs(
     so the correctness gate is exact either way). `hash_shingles=False`
     keeps string keys.
 
-    Plan shape: the shingle explode is computed ONCE — repartitioned to
-    cluster parallelism (document parquet split counts would cap the
-    tokenize/explode stage) and persisted (memory+disk spill), because
-    three consumers read it (df-cut freq, per-doc sizes, the self-join's
-    two sides); without the persist Spark re-tokenizes the corpus 3x.
+    Plan shape (round-7 PPJoin rewrite): the shingle explode is computed
+    ONCE — repartitioned to cluster parallelism (document parquet split
+    counts would cap the tokenize/explode stage) — then gathered into ONE
+    persisted per-doc SORTED shingle array (memory+disk spill) that every
+    consumer reads (both prefix sides of the candidate join and both
+    verify sides). The self-join runs on PREFIX tokens only (prefix
+    filtering / PPJoin principle, Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin): under any total token order, a pair with Jaccard >= t shares
+    at least one token inside BOTH docs' (|x| - ceil(t*|x|) + 1)-prefixes
+    — proof: were the prefixes disjoint on shared tokens, order the
+    prefix-boundary tokens a_end <= b_end; every shared token in A's
+    prefix would be <= a_end <= b_end yet outside B's prefix (> b_end),
+    so all shared tokens sit past A's prefix, capping the intersection at
+    ceil(t*|A|) - 1 < the t-required minimum. Candidates therefore shrink
+    by ~(1-t)^2 of the join volume (sf0.1: 1.29M -> ~0.3M pair rows,
+    measured 1.8 s -> 1.0 s) while recall stays exactly 1; n_common is
+    then the exact array_intersect of the two full sorted sets — the same
+    integers the old join-count produced, so emitted values are identical
+    (DuckDB oracle + old==new corpus comparison in tests).
 
     Skew guards for web scale: df-cut (`max_shingle_freq`) drops ubiquitous
     shingles before the self-join — auto-engaged above
     `auto_df_cut_min_docs` documents (see `_apply_df_cut`); `salt_hot_shingles`
-    additionally routes the self-join through the explicit salted join
-    (operators.skew) with that salt factor — for shingles that are hot but
-    below the df-cut.
+    routes the self-join through the explicit salted join (operators.skew)
+    with that salt factor — for shingles that are hot but below the df-cut
+    (that path keeps the full-token join: salting composes with the plain
+    equi-join shape).
     """
     from pyspark import StorageLevel
 
@@ -200,31 +215,69 @@ def ngram_jaccard_pairs(
     sh = _apply_df_cut(
         sh, df, max_shingle_freq, auto_df_cut_min_docs, "ngram_jaccard", n_docs=n_docs
     )
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc").alias("id_a"), "sh")
-    b = sh.select(F.col("doc").alias("id_b"), "sh")
     if salt_hot_shingles:
         from .skew import salted_join
 
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("doc").alias("id_a"), "sh")
+        b = sh.select(F.col("doc").alias("id_b"), "sh")
         joined = salted_join(
             a, b, "sh", n_salts=salt_hot_shingles, hot_threshold=1000, salt_cols=["id_a"]
         )
-    else:
-        joined = a.join(b, "sh")
-    inter = (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        inter = (
+            joined.filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            inter.join(
+                sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "na"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "nb"),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    arrs = (
+        sh.groupBy("doc")
+        .agg(F.array_sort(F.collect_list("sh")).alias("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pref = arrs.select(
+        "doc",
+        F.slice(
+            "shs",
+            F.lit(1),
+            F.size("shs") - F.ceil(F.lit(threshold) * F.size("shs")).cast("int") + 1,
+        ).alias("pfx"),
+    )
+    pa = pref.select(F.col("doc").alias("id_a"), F.explode("pfx").alias("sh"))
+    pb = pref.select(F.col("doc").alias("id_b"), F.explode("pfx").alias("sh"))
+    cands = (
+        pa.join(pb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        cands.join(arrs.select(F.col("doc").alias("id_a"), F.col("shs").alias("sa")), "id_a")
+        .join(arrs.select(F.col("doc").alias("id_b"), F.col("shs").alias("sb")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
-            ),
+            F.round(n_common / (F.size("sa") + F.size("sb") - n_common), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -292,10 +292,16 @@ def ivf_ann_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     refine_iters: int = 0,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by coarse centroid (one scan,
     equi-join key per vector), queries probe their `nprobe` nearest
     centroids, exact cosine re-rank within the probed buckets.
+
+    `centroids`: precomputed coarse centroids (round 7) — callers that
+    already derived them (e.g. to checkpoint assignments for an oracle)
+    pass them in, skipping the count + K×dim collect jobs that
+    deterministic_centroids costs per invocation.
 
     refine_iters > 0 runs spherical k-means refinement of the strided seed
     centroids (kmeans_refine) before bucketing — better-balanced buckets,
@@ -304,7 +310,11 @@ def ivf_ann_topk(
     Scale shape: the corpus-side assignment materializes once; per query
     the candidate count is O(nprobe * bucket), not O(N), and the join is a
     plain equi-join on centroid_id."""
-    cents = deterministic_centroids(corpus, n_centroids, c_id=c_id, c_vec=c_vec)
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_centroids, c_id=c_id, c_vec=c_vec)
+    )
     if refine_iters:
         cents = kmeans_refine(corpus, cents, c_vec=c_vec, iters=refine_iters)
     c_assigned = ivf_assignments(corpus, cents, vec_col=c_vec, nprobe=1)

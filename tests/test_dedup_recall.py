@@ -372,10 +372,14 @@ def test_keep_canonical_drops_all_but_min(spark):
 
 
 def test_ngram_plan_tokenizes_once(spark):
-    """Plan contract (round-3): the shingle tokenize/explode is computed
-    ONCE and cached — every consumer (per-doc sizes, both self-join sides)
-    reads the InMemoryRelation; no Generate (explode) node exists outside
-    a cached relation, which would mean Spark re-tokenizes the corpus."""
+    """Plan contract (round-3, re-pinned for the round-7 PPJoin shape): the
+    shingle TOKENIZE explode is computed once and cached — every consumer
+    (both prefix sides of the candidate join, both verify sides) reads the
+    persisted sorted-array relation. Tokenize Generates
+    (explode over split(text...)) may appear only as the cached plan each
+    InMemoryRelation prints; the only uncached Generates are the prefix
+    explodes over `pfx` — a cheap slice of the cached array, not a
+    re-tokenize."""
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma delta epsilon zeta eta theta " + str(i))
          for i in range(30)],
@@ -384,8 +388,65 @@ def test_ngram_plan_tokenizes_once(spark):
     out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     n_cached = plan.count("InMemoryRelation")
-    n_generate = plan.count("Generate")
-    assert n_cached >= 3  # sizes + two join sides at minimum
-    assert n_generate <= n_cached, (
-        f"{n_generate - n_cached} uncached tokenize pass(es) in the plan"
+    assert n_cached >= 4  # two prefix sides + two verify sides
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    tokenize = [ln for ln in gen_lines if "split(text" in ln]
+    other = [ln for ln in gen_lines if "split(text" not in ln]
+    assert len(tokenize) <= n_cached, (
+        f"{len(tokenize) - n_cached} uncached tokenize pass(es) in the plan"
     )
+    assert other and all("explode(pfx" in ln for ln in other), other
+
+
+def test_ngram_prefix_filter_matches_bruteforce_on_random_corpora(spark):
+    """PPJoin recall contract (round 7): the prefix-filtered candidate join
+    must emit EXACTLY the pairs (and jaccard values) a brute-force
+    all-pairs computation over the same word-3-gram shingle sets produces —
+    a missed candidate would be a silently wrong row, so this is pinned on
+    adversarial randomized corpora (shared prefixes, duplicated docs, tiny
+    docs whose prefix is the whole set, mixed lengths) at several
+    thresholds."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(40)]
+    for trial, thr in [(0, 0.3), (1, 0.5), (2, 0.8), (3, 0.05)]:
+        rows = []
+        for i in range(28):
+            n_words = rng.choice([3, 4, 8, 15, 25])
+            base = [rng.choice(vocab) for _ in range(n_words)]
+            rows.append((i, " ".join(base)))
+            if i % 5 == 0:  # near-duplicate: perturb one word
+                dup = list(base)
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+                rows.append((100 + i, " ".join(dup)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=thr
+            ).collect()
+        }
+        # brute force over the same shingle definition (distinct word
+        # 3-grams; hashing is injective here because we compare SETS built
+        # from the same strings)
+        def shingle_set(text):
+            w = text.split(" ")
+            k = max(len(w) - 2, 1)
+            return {" ".join(w[i : i + 3]) for i in range(k) if i + 2 < len(w)} or {
+                " ".join(w[0:3])
+            }
+        sets = {i: shingle_set(t) for i, t in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 4)
+            if j >= thr:
+                want[(a, b)] = j
+        assert got == want, (
+            f"trial {trial} thr {thr}: missing {set(want) - set(got)}, "
+            f"extra {set(got) - set(want)}"
+        )
